@@ -1,0 +1,67 @@
+"""Runtime tunables.
+
+The reference keeps ~25 compile-time constexpr knobs in sources/config.h:10-38.
+SURVEY.md section 5 calls for promoting that tier to runtime config, so they live
+here as a dataclass with reference defaults; Config (runtime/config.py) can
+override any of them from JSON ("tunables" section).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class Tunables:
+    # debug raw-dump sinks (reference config.h:11-13)
+    debug_save_full_raw_iq: bool = False
+    debug_save_full_power: bool = False
+    debug_save_recording_raw_iq: bool = False
+
+    # lifecycle (config.h:14-21)
+    initial_delay_ms: int = 1000
+    log_file_name: str = "sdr_scanner.log"
+    log_file_size: int = 10 * 1024 * 1024
+    log_files_count: int = 9
+    performance_logger_interval: int = 1000
+    recorder_flush_interval_ms: int = 100
+    resampler_threshold: int = 125
+    transmission_max_time_ms: int = 10 * 60 * 1000
+
+    # scanning (config.h:24-25)
+    noise_learning_time_ms: int = 2000
+    range_scanning_time_ms: int = 500
+
+    # signal detection (config.h:28-33)
+    grouping_x: int = 21  # frequency-domain smoothing width (bins)
+    grouping_y: int = 21  # time-domain smoothing depth (frames)
+    default_recording_start_level: float = 8.0
+    default_recording_stop_level: float = 5.0
+    signal_detection_fps: int = 50
+    signal_detection_max_step: int = 250  # max Hz per FFT bin
+
+    # spectrogram (config.h:36-38)
+    spectrogram_preferred_max_step: int = 1000
+    spectrogram_max_fft: int = 16384
+    spectrogram_send_interval_ms: int = 1000
+
+    # TPU-native additions (no reference equivalent)
+    # process every FFT frame instead of decimating to signal_detection_fps.
+    # The reference drops frames purely to bound CPU (config.h:32); on TPU we
+    # can afford full coverage -- this is an accuracy upgrade, off by default
+    # for parity.
+    dense_detection: bool = False
+    # number of frames handed to the device per jitted step.
+    frames_per_block: int = 16
+    # transfer IQ to device as int8 (cs8) and dequantize on-device, saving
+    # 4x host->device bandwidth vs complex64.
+    int8_ingest: bool = True
+
+
+# Module-level default instance; runtime code takes a Tunables argument and
+# defaults to this.
+DEFAULT = Tunables()
+
+# Sentinel emitted while the noise floor / averager warm up
+# (reference radio_utils.cpp:72-76 setNoData).
+NO_DATA = -100.0

@@ -1,0 +1,19 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding tests run against
+8 virtual CPU devices (SURVEY.md section 4 test strategy).
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
