@@ -1,0 +1,61 @@
+"""Time-domain boxcar averager (device side, functional state).
+
+Replaces the reference Averager (sources/radio/averager.cpp): a ring of
+GROUPING_Y frames with a running column sum. Emits the NO_DATA sentinel until
+the ring has filled once since the last reset (averager.cpp:52-60).
+
+The ring also serves the detector's history vote (Transmission::getBestIndex,
+transmission.cpp:132-154), so ring contents and write position are part of the
+state and the pipeline exposes per-frame raw rows to the host.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax.numpy as jnp
+
+from rtl_sdr_scanner_tpu.constants import NO_DATA
+
+
+class AveragerState(NamedTuple):
+    ring: jnp.ndarray  # [depth, fft] f32, zeros-initialized
+    total: jnp.ndarray  # [fft] f32 running column sum
+    pos: jnp.ndarray  # scalar i32 next write slot
+    frames: jnp.ndarray  # scalar i32, saturates at depth
+
+
+def init_averager_state(fft_size: int, depth: int) -> AveragerState:
+    return AveragerState(
+        ring=jnp.zeros((depth, fft_size), dtype=jnp.float32),
+        total=jnp.zeros((fft_size,), dtype=jnp.float32),
+        pos=jnp.asarray(0, dtype=jnp.int32),
+        frames=jnp.asarray(0, dtype=jnp.int32),
+    )
+
+
+def averager_step(
+    state: AveragerState, frame: jnp.ndarray
+) -> Tuple[AveragerState, jnp.ndarray]:
+    """Push one frame; return the boxcar mean (or sentinel while warming).
+
+    O(fft) update exactly like the reference: subtract the recycled slot, add
+    the new frame (averager.cpp:14-25).
+    """
+    depth = state.ring.shape[0]
+    old = state.ring[state.pos]
+    total = state.total - old + frame
+    ring = state.ring.at[state.pos].set(frame)
+    pos = (state.pos + 1) % depth
+    frames = jnp.minimum(state.frames + 1, depth)
+    ready = frames >= depth
+    mean = jnp.where(ready, total / depth, jnp.full_like(total, NO_DATA))
+    return AveragerState(ring=ring, total=total, pos=pos, frames=frames), mean
+
+
+def ordered_history(state: AveragerState) -> jnp.ndarray:
+    """Ring rows oldest-first, matching the reference deque layout
+    (averager.cpp data())."""
+    depth = state.ring.shape[0]
+    idx = (state.pos + jnp.arange(depth)) % depth
+    return state.ring[idx]
