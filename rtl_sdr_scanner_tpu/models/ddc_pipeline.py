@@ -1,0 +1,123 @@
+"""The recorder bank "model": batched K-slot DDC over a block.
+
+Replaces the reference's pool of dynamically attached recorder chains
+(sources/radio/sdr_device.cpp:39-41, recorder.cpp:14-46) with a fixed-capacity
+batched kernel: all K slots always compute; the host reconciles which slots
+are live (runtime/sdr_device.py) and discards masked output, which is the
+fixed-shape TPU answer to dynamic graph surgery.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtl_sdr_scanner_tpu.ops import ddc as ddc_ops
+from rtl_sdr_scanner_tpu.ops.ddc import (
+    DdcState,
+    NcoTables,
+    StagePlan,
+    chain_block_multiple,
+    chain_output_length,
+    init_ddc_state,
+    make_nco_tables,
+    plan_chain,
+    reset_slot,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class DdcConfig:
+    sample_rate: int
+    bandwidth: int  # recording.min_sample_rate (config.cpp:79)
+    num_slots: int  # recorder pool size (config.cpp:135-139)
+    chunk: int  # samples per inner scan chunk
+    num_chunks: int  # chunks per block
+    plans: Tuple[StagePlan, ...]
+
+    @classmethod
+    def create(
+        cls,
+        sample_rate: int,
+        bandwidth: int,
+        num_slots: int,
+        block_samples: int,
+        resampler_threshold: int = 125,
+    ) -> "DdcConfig":
+        plans = tuple(plan_chain(sample_rate, bandwidth, resampler_threshold))
+        mult = chain_block_multiple(plans)
+        # chunk: big enough to amortize dispatch, divisible into the block and
+        # by the chain multiple.
+        chunk = block_samples
+        num_chunks = 1
+        target = 1 << 21  # ~2M samples per chunk keeps rotation buffers in HBM modest
+        while chunk > target and chunk % 2 == 0 and (chunk // 2) % mult == 0:
+            chunk //= 2
+            num_chunks *= 2
+        if block_samples % mult != 0:
+            raise ValueError(
+                f"block_samples {block_samples} not divisible by resampler multiple {mult}"
+            )
+        return cls(sample_rate, bandwidth, num_slots, chunk, num_chunks, plans)
+
+    @property
+    def block_samples(self) -> int:
+        return self.chunk * self.num_chunks
+
+    @property
+    def out_per_block(self) -> int:
+        return chain_output_length(self.plans, self.block_samples)
+
+
+def init_state(cfg: DdcConfig) -> DdcState:
+    return init_ddc_state(cfg.plans, cfg.num_slots)
+
+
+def make_tables(cfg: DdcConfig, shifts: np.ndarray) -> NcoTables:
+    """Per-slot NCO tables; host refreshes when a slot's shift changes
+    (recorder startRecording, recorder.cpp:58-73)."""
+    return make_nco_tables(shifts, cfg.sample_rate, cfg.chunk)
+
+
+def _ddc_block(
+    cfg: DdcConfig, state: DdcState, iq: jnp.ndarray, tables: NcoTables
+) -> Tuple[DdcState, jnp.ndarray]:
+    """iq: [block_samples] complex64 -> int8 out [num_slots, out_per_block, 2]."""
+    chunks = iq.reshape(cfg.num_chunks, cfg.chunk)
+
+    def body(carry, chunk_iq):
+        new_state, out = ddc_ops.ddc_chunk(chunk_iq, carry, tables, cfg.plans)
+        return new_state, out
+
+    state, outs = jax.lax.scan(body, state, chunks)
+    # [num_chunks, K, chunk_out, 2] -> [K, block_out, 2]
+    out = jnp.moveaxis(outs, 0, 1).reshape(cfg.num_slots, -1, 2)
+    return state, out
+
+
+# StagePlan holds numpy kernels (unhashable), so cache on the scalar geometry.
+_STEP_CACHE: dict = {}
+
+
+def make_ddc_step(cfg: DdcConfig):
+    key = (cfg.sample_rate, cfg.bandwidth, cfg.num_slots, cfg.chunk, cfg.num_chunks)
+    if key not in _STEP_CACHE:
+        _STEP_CACHE[key] = jax.jit(
+            functools.partial(_ddc_block, cfg), donate_argnums=(0,)
+        )
+    return _STEP_CACHE[key]
+
+
+__all__ = [
+    "DdcConfig",
+    "DdcState",
+    "init_state",
+    "make_tables",
+    "make_ddc_step",
+    "reset_slot",
+]

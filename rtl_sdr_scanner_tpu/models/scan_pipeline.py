@@ -1,0 +1,150 @@
+"""The fused detection pipeline -- the framework's flagship "model".
+
+One jitted program replaces the reference's entire GR detection flowgraph
+(sources/radio/sdr_device.cpp:161-171):
+
+  stream_to_vector -> Blocker -> Decimator -> fft_v(hamming) -> PSD
+  -> NoiseLearner -> [Averager + freq smoothing inside Transmission]
+
+Structure (TPU-first):
+- All frames of a block are FFT'd/PSD'd as ONE batched transform (MXU/VPU
+  friendly, no per-frame dispatch).
+- The sequential carries (noise max-hold, averager ring) run in a lax.scan
+  over frames -- cheap elementwise ops only.
+- Outputs per block: raw power rows (power - noise floor), time+frequency
+  smoothed rows, and the spectrogram bin accumulation. The host detector
+  (runtime/transmission_tracker.py) consumes these at the reference's
+  <=50 rows/s cadence.
+
+The Blocker/skip gating of the reference (blocker.cpp) is a host concern here:
+the host simply does not feed blocks while retuning, and drops the one stale
+block after retune (sdr_device.cpp:78).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtl_sdr_scanner_tpu.constants import DEFAULT, Tunables
+from rtl_sdr_scanner_tpu.ops.averager import AveragerState, averager_step, init_averager_state
+from rtl_sdr_scanner_tpu.ops.noise import NoiseState, init_noise_state, noise_step
+from rtl_sdr_scanner_tpu.ops.psd import dequantize_cs8, psd_frames
+from rtl_sdr_scanner_tpu.ops.smooth import sliding_average
+from rtl_sdr_scanner_tpu.ops.spectrogram import accumulate_frames, spectrogram_output_size
+from rtl_sdr_scanner_tpu.utils.radio_utils import get_fft
+
+
+@dataclasses.dataclass(frozen=True)
+class ScanConfig:
+    """Static geometry of one band's detection pipeline.
+
+    Derived exactly like SdrDevice::setupChains (sdr_device.cpp:148-159).
+    """
+
+    sample_rate: int
+    fft_size: int
+    decimator_factor: int
+    frames_per_block: int
+    spectro_size: int
+    grouping_x: int = 21
+    grouping_y: int = 21
+    noise_learning_ms: int = 2000
+
+    @classmethod
+    def create(
+        cls, sample_rate: int, frames_per_block: int = 16, tunables: Tunables = DEFAULT
+    ) -> "ScanConfig":
+        fft_size = get_fft(sample_rate, tunables.signal_detection_max_step)
+        step = sample_rate / fft_size
+        decim = 1 if tunables.dense_detection else max(
+            1, int(step / tunables.signal_detection_fps)
+        )
+        return cls(
+            sample_rate=sample_rate,
+            fft_size=fft_size,
+            decimator_factor=decim,
+            frames_per_block=frames_per_block,
+            spectro_size=spectrogram_output_size(
+                fft_size,
+                sample_rate,
+                tunables.spectrogram_max_fft,
+                tunables.spectrogram_preferred_max_step,
+            ),
+            grouping_x=tunables.grouping_x,
+            grouping_y=tunables.grouping_y,
+            noise_learning_ms=tunables.noise_learning_time_ms,
+        )
+
+    @property
+    def step_hz(self) -> float:
+        return self.sample_rate / self.fft_size
+
+    @property
+    def block_samples(self) -> int:
+        return self.frames_per_block * self.fft_size * self.decimator_factor
+
+    @property
+    def frame_interval_ms(self) -> float:
+        return self.fft_size * self.decimator_factor * 1000.0 / self.sample_rate
+
+    def index_to_shift(self, index: int) -> int:
+        """Bin index -> frequency shift from center (sdr_device.cpp:154)."""
+        return int(self.step_hz * (index + 0.5)) - self.sample_rate // 2
+
+    def index_to_frequency(self, index: int, center: int) -> int:
+        return center + self.index_to_shift(index)
+
+
+class ScanState(NamedTuple):
+    noise: NoiseState
+    averager: AveragerState
+
+
+class ScanOutputs(NamedTuple):
+    raw: jnp.ndarray  # [frames, fft] power - noise floor (or NO_DATA sentinel)
+    avg: jnp.ndarray  # [frames, fft] time+frequency smoothed (or sentinel)
+    spectro_sum: jnp.ndarray  # [spectro_size] PSD bin-mean sum over frames
+    noise_ready: jnp.ndarray  # scalar bool AFTER this block
+
+
+def init_scan_state(cfg: ScanConfig, start_ms: int = 0) -> ScanState:
+    return ScanState(
+        noise=init_noise_state(cfg.fft_size, start_ms),
+        averager=init_averager_state(cfg.fft_size, cfg.grouping_y),
+    )
+
+
+def _scan_block(
+    cfg: ScanConfig, state: ScanState, iq: jnp.ndarray, now_ms: jnp.ndarray
+) -> Tuple[ScanState, ScanOutputs]:
+    """iq: [frames, fft*decim] complex64 (pre-framed) or [frames, fft*decim, 2]
+    int8 cs8; now_ms: [frames] i32 relative milliseconds."""
+    if iq.dtype == jnp.int8:
+        iq = dequantize_cs8(iq)
+    frames = iq[:, : cfg.fft_size]  # Decimator: first fft of each group
+    power = psd_frames(frames, float(cfg.sample_rate))
+
+    def body(carry: ScanState, inp):
+        p, t = inp
+        noise_state, raw = noise_step(carry.noise, p, t, cfg.noise_learning_ms)
+        avg_state, mean = averager_step(carry.averager, raw)
+        return ScanState(noise_state, avg_state), (raw, mean)
+
+    state, (raw_rows, mean_rows) = jax.lax.scan(body, state, (power, now_ms))
+    avg_rows = sliding_average(mean_rows, cfg.grouping_x)
+    spectro = accumulate_frames(power, cfg.spectro_size)
+    return state, ScanOutputs(
+        raw=raw_rows, avg=avg_rows, spectro_sum=spectro, noise_ready=state.noise.ready
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def make_scan_step(cfg: ScanConfig):
+    """Jitted block step for a given pipeline geometry."""
+    return jax.jit(functools.partial(_scan_block, cfg), donate_argnums=(0,))
