@@ -1,0 +1,104 @@
+"""Application entry point and lifecycle.
+
+Reference: sources/main.cpp -- SIGINT/SIGTERM handler, outer reload loop:
+load config -> Mqtt + RemoteController -> one Scanner per enabled device with
+non-empty ranges -> poll until stop/reload (triggered by a remote config
+update, which persists the new config and rebuilds the world).
+
+Usage: python -m rtl_sdr_scanner_tpu.runtime.main /path/to/config.json
+"""
+
+from __future__ import annotations
+
+import signal
+import sys
+import time
+from typing import List
+
+from rtl_sdr_scanner_tpu.runtime.config import Config
+from rtl_sdr_scanner_tpu.runtime.mqtt_client import make_mqtt
+from rtl_sdr_scanner_tpu.runtime.remote_controller import RemoteController
+from rtl_sdr_scanner_tpu.runtime.scanner import Scanner
+from rtl_sdr_scanner_tpu.utils import logger
+from rtl_sdr_scanner_tpu.utils.utils import generate_random_hash
+
+LABEL = "main"
+
+_is_running = True
+
+
+def _handler(signum, frame):
+    global _is_running
+    logger.warn(LABEL, "received stop signal")
+    _is_running = False
+
+
+def run(config_file: str) -> int:
+    global _is_running
+    signal.signal(signal.SIGINT, _handler)
+    signal.signal(signal.SIGTERM, _handler)
+
+    logger.configure()
+    logger.info(LABEL, "starting")
+    instance_id = generate_random_hash()
+
+    while _is_running:
+        reload_requested = [False]
+        config = Config.load_from_file(config_file)
+        logger.configure(
+            config.console_log_level,
+            config.file_log_level,
+            config.tunables.log_file_name,
+            config.tunables.log_file_size,
+            config.tunables.log_files_count,
+            config.color_log_enabled,
+        )
+
+        mqtt = make_mqtt(config)
+
+        def config_callback(new_json):
+            logger.info(LABEL, "reload config")
+            Config.save_to_file(config_file, new_json)
+            reload_requested[0] = True
+
+        remote = RemoteController(config, instance_id, mqtt, config_callback)
+
+        scanners: List[Scanner] = []
+        for device in config.devices:
+            try:
+                if not device.enabled:
+                    logger.info(LABEL, "device disabled, skipping: {}", device.name)
+                elif not device.ranges:
+                    logger.info(LABEL, "empty ranges to scan, skipping: {}", device.name)
+                else:
+                    scanner = Scanner(config, device, mqtt, config.recorders_count())
+                    scanner.start()
+                    scanners.append(scanner)
+            except Exception as exc:
+                logger.error(LABEL, "can not open device: {}, exception: {}", device.name, exc)
+
+        if not scanners:
+            logger.warn(LABEL, "empty devices list")
+
+        logger.info(LABEL, "started")
+        while _is_running and not reload_requested[0]:
+            time.sleep(0.1)
+
+        for scanner in scanners:
+            scanner.stop()
+        mqtt.stop()
+
+    logger.info(LABEL, "stopped")
+    return 0
+
+
+def main() -> int:
+    if len(sys.argv) < 2:
+        logger.configure()
+        logger.error(LABEL, "no config file argument provided")
+        return 1
+    return run(sys.argv[1])
+
+
+if __name__ == "__main__":
+    sys.exit(main())

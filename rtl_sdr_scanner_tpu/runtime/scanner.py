@@ -1,0 +1,157 @@
+"""Band-hop scan scheduler.
+
+Reference: sources/scanner.cpp -- split configured ranges into <=sampleRate
+hops (splitRanges over getRangeSplitSampleRate), then either park on a single
+range forever or round-robin with RANGE_SCANNING_TIME dwell, holding on a
+range while any recording is active (scanner.cpp:46-60).
+
+The reference drives this from a dedicated thread against a live flowgraph;
+here the scheduler is synchronous and pull-based -- each step() pulls one
+block from the source through the device session -- which makes replay
+deterministic and lets a thread wrapper (run()) provide the live behavior.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import List, Optional, Tuple
+
+from rtl_sdr_scanner_tpu.runtime.config import Config, DeviceSpec
+from rtl_sdr_scanner_tpu.runtime.sdr_device import SdrDevice
+from rtl_sdr_scanner_tpu.runtime.sources import make_source
+from rtl_sdr_scanner_tpu.utils import logger
+from rtl_sdr_scanner_tpu.utils.radio_utils import (
+    format_frequency,
+    get_range_split_sample_rate,
+    split_ranges,
+)
+
+LABEL = "scanner"
+
+
+class Scanner:
+    def __init__(
+        self,
+        config: Config,
+        device_spec: DeviceSpec,
+        mqtt,
+        recorders_count: int,
+        loop_replay: bool = False,
+        prefer_int8_ingest: Optional[bool] = None,
+    ):
+        self._config = config
+        self._tunables = config.tunables
+        self._source = make_source(device_spec, loop=loop_replay)
+        self.device = SdrDevice(config, device_spec, mqtt, recorders_count)
+        self._ranges: List[Tuple[int, int]] = split_ranges(
+            device_spec.ranges, get_range_split_sample_rate(device_spec.sample_rate)
+        )
+        self._int8_ingest = (
+            prefer_int8_ingest
+            if prefer_int8_ingest is not None
+            else self._tunables.int8_ingest
+        )
+        self._range_index = -1
+        self._dwell_start_ms = 0
+        self._pending_skip = False
+        self._running = False
+        self._thread: Optional[threading.Thread] = None
+
+        logger.info(LABEL, "scan ranges: {}", len(device_spec.ranges))
+        for rng in device_spec.ranges:
+            logger.info(
+                LABEL, "scan range: {} - {}", format_frequency(rng[0]), format_frequency(rng[1])
+            )
+        logger.info(LABEL, "splitted scan ranges: {}", len(self._ranges))
+        for rng in self._ranges:
+            logger.info(
+                LABEL,
+                "splitted scan range: {} - {}",
+                format_frequency(rng[0]),
+                format_frequency(rng[1]),
+            )
+
+    # -- scheduling --------------------------------------------------------
+
+    def _hop(self, now_ms: int) -> None:
+        self._range_index = (self._range_index + 1) % len(self._ranges)
+        rng = self._ranges[self._range_index]
+        self._source.set_center_frequency((rng[0] + rng[1]) // 2)
+        self.device.set_frequency_range(rng, now_ms)
+        self._dwell_start_ms = now_ms
+        # drop one stale block after retune (sdr_device.cpp:78 skip) --
+        # meaningful only for hardware sources whose pipeline has stale data
+        self._pending_skip = not _is_replay(self._source)
+
+    def step(self) -> bool:
+        """Process one block. Returns False when the source is exhausted."""
+        if not self._ranges:
+            logger.warn(LABEL, "empty scanned ranges")
+            return False
+        now_ms = self._source.stream_time_ms()
+        if self._range_index < 0:
+            self._hop(now_ms)
+
+        block = self._read_block()
+        if block is None:
+            return False
+        if self._pending_skip:
+            self._pending_skip = False
+            return True
+
+        now_ms = self._source.stream_time_ms()
+        self.device.process_block(block, block_start_ms=now_ms - self._block_ms())
+
+        if len(self._ranges) > 1:
+            dwell_over = (
+                now_ms - self._dwell_start_ms >= self._tunables.range_scanning_time_ms
+            )
+            # hold while a transmission is active (scanner.cpp:52-56)
+            if dwell_over and not self.device.last_notification:
+                self._hop(now_ms)
+        return True
+
+    def _block_ms(self) -> int:
+        cfg = self.device.scan_cfg
+        return int(cfg.block_samples * 1000 / cfg.sample_rate)
+
+    def _read_block(self):
+        n = self.device.scan_cfg.block_samples
+        if self._int8_ingest:
+            raw = self._source.read_block_int8(n)
+            if raw is not None:
+                return raw
+        return self._source.read_block(n)
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def run_to_completion(self) -> None:
+        """Drain a replay source synchronously."""
+        while self.step():
+            pass
+
+    def start(self) -> None:
+        """Live mode: worker thread like the reference scanner thread."""
+        self._running = True
+
+        def worker():
+            logger.info(LABEL, "thread started")
+            while self._running:
+                if not self.step():
+                    break
+            logger.info(LABEL, "thread stopped")
+
+        self._thread = threading.Thread(target=worker, name="scanner", daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._running = False
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
+
+
+def _is_replay(source) -> bool:
+    from rtl_sdr_scanner_tpu.runtime.sources import ReplaySource
+
+    return isinstance(source, ReplaySource)

@@ -1,0 +1,370 @@
+"""Device session: owns the jitted pipelines and the recorder slot pool.
+
+Reference: sources/radio/sdr_device.cpp (SdrDevice). The GR flowgraph becomes
+two jitted device programs (models/scan_pipeline, models/ddc_pipeline); the
+dynamically attached recorder chains become K batched slots reconciled by the
+same rules as SdrDevice::updateRecordings (sdr_device.cpp:82-144):
+stop stale, flush active, assign free, log-once overflow.
+
+Per-retune behavior mirrors setFrequencyRange (sdr_device.cpp:54-80): gate the
+stream, retune, reset the transmission tracker + averager, drop one stale
+block. Noise-floor state is keyed by center frequency and persists across
+hops (NoiseLearner::resetBuffers is never called in the reference).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Set, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from rtl_sdr_scanner_tpu.constants import Tunables
+from rtl_sdr_scanner_tpu.models import ddc_pipeline
+from rtl_sdr_scanner_tpu.models.scan_pipeline import (
+    ScanConfig,
+    ScanState,
+    init_scan_state,
+    make_scan_step,
+)
+from rtl_sdr_scanner_tpu.ops.averager import init_averager_state
+from rtl_sdr_scanner_tpu.ops.noise import NoiseState, init_noise_state
+from rtl_sdr_scanner_tpu.runtime.config import Config, DeviceSpec
+from rtl_sdr_scanner_tpu.runtime.data_controller import DataController
+from rtl_sdr_scanner_tpu.runtime.transmission_tracker import FrequencyFlush, TransmissionTracker
+from rtl_sdr_scanner_tpu.utils import logger
+from rtl_sdr_scanner_tpu.utils.radio_utils import format_frequency
+
+LABEL = "sdr"
+
+
+class RecorderSlot:
+    """Host bookkeeping for one DDC slot (reference Recorder, recorder.cpp)."""
+
+    def __init__(self, index: int):
+        self.index = index
+        self.shift: Optional[int] = None
+        self.frequency: Optional[int] = None
+        self.first_ms = 0
+        self.last_ms = 0
+        self.pending: List[Tuple[int, np.ndarray]] = []  # (stream_ms, int8 [n,2])
+
+    @property
+    def is_recording(self) -> bool:
+        return self.shift is not None
+
+
+class SpectroContainer:
+    """Per-center-frequency spectrogram accumulator (spectrogram.cpp:9,45-60)."""
+
+    def __init__(self, size: int, now_ms: int):
+        self.sum = np.zeros(size, dtype=np.float64)
+        self.counter = 0
+        self.last_send_ms = now_ms
+
+
+class SdrDevice:
+    def __init__(
+        self,
+        config: Config,
+        device: DeviceSpec,
+        mqtt,
+        recorders_count: int,
+        session_epoch_ms: int = 0,
+    ):
+        self._config = config
+        self._device = device
+        self._tunables = config.tunables
+        self._data_controller = DataController(mqtt, device.name)
+        self._session_epoch_ms = session_epoch_ms
+
+        self.scan_cfg = ScanConfig.create(
+            device.sample_rate,
+            frames_per_block=self._tunables.frames_per_block,
+            tunables=self._tunables,
+        )
+        # block length must also satisfy the DDC chain divisibility
+        self.scan_cfg = _fix_block_multiple(
+            self.scan_cfg, device.sample_rate, config.recording_bandwidth, self._tunables
+        )
+        self.ddc_cfg = ddc_pipeline.DdcConfig.create(
+            device.sample_rate,
+            config.recording_bandwidth,
+            recorders_count,
+            self.scan_cfg.block_samples,
+            self._tunables.resampler_threshold,
+        )
+        self._scan_step = make_scan_step(self.scan_cfg)
+        self._ddc_step = ddc_pipeline.make_ddc_step(self.ddc_cfg)
+
+        cfg = self.scan_cfg
+        logger.info(
+            LABEL,
+            "signal detection, fft: {}, step: {}, decimator factor: {}",
+            cfg.fft_size,
+            format_frequency(int(cfg.step_hz)),
+            cfg.decimator_factor,
+        )
+        # groupSize = recording bandwidth in bins (sdr_device.cpp:151)
+        self._group_size = int(math.ceil(config.recording_bandwidth / cfg.step_hz))
+
+        self._frequency_range: Tuple[int, int] = (0, 0)
+        self._scan_state: Optional[ScanState] = None
+        self._noise_states: Dict[int, NoiseState] = {}
+        self._pending_noise_center: Optional[int] = None
+
+        self._tracker = TransmissionTracker(
+            fft_size=cfg.fft_size,
+            group_size=self._group_size,
+            start_level=device.start_level,
+            stop_level=device.stop_level,
+            recording_min_time_ms=config.recording_min_time_ms,
+            recording_timeout_ms=config.recording_timeout_ms,
+            tuning_step=config.recording_tuning_step,
+            index_to_shift=cfg.index_to_shift,
+            index_to_frequency=lambda i: cfg.index_to_frequency(i, self.center_frequency),
+            is_index_in_range=self._is_index_in_range,
+            ignored_ranges=config.ignored_ranges,
+            tunables=self._tunables,
+        )
+
+        self._recorders = [RecorderSlot(i) for i in range(recorders_count)]
+        self._ddc_state = ddc_pipeline.init_state(self.ddc_cfg)
+        self._ddc_tables = ddc_pipeline.make_tables(
+            self.ddc_cfg, np.zeros(recorders_count, dtype=np.int64)
+        )
+        self._ignored_transmissions: Set[int] = set()
+
+        self._spectro_containers: Dict[int, SpectroContainer] = {}
+        self._last_notification: List[FrequencyFlush] = []
+
+        logger.info(
+            LABEL,
+            "driver: {}, serial: {}, sample rate: {}, recorders: {}",
+            device.driver,
+            device.serial,
+            format_frequency(device.sample_rate),
+            recorders_count,
+        )
+
+    # -- geometry ----------------------------------------------------------
+
+    @property
+    def center_frequency(self) -> int:
+        return (self._frequency_range[0] + self._frequency_range[1]) // 2
+
+    def _is_index_in_range(self, index: int) -> bool:
+        f = self.scan_cfg.index_to_frequency(index, self.center_frequency)
+        return self._frequency_range[0] <= f <= self._frequency_range[1]
+
+    @property
+    def is_recording(self) -> bool:
+        return any(r.is_recording for r in self._recorders)
+
+    @property
+    def last_notification(self) -> List[FrequencyFlush]:
+        return self._last_notification
+
+    # -- retune ------------------------------------------------------------
+
+    def set_frequency_range(self, frequency_range: Tuple[int, int], now_ms: int) -> None:
+        """sdr_device.cpp:54-80 minus the hardware-source blocking dance
+        (gating is implicit: the host does not feed blocks while retuning)."""
+        self._frequency_range = frequency_range
+        center = self.center_frequency
+        self._tracker.reset()
+        for rec in self._recorders:
+            if rec.is_recording:
+                self._stop_slot(rec)
+        # averager resets on retune; noise floor persists per center frequency
+        noise = self._noise_states.get(center)
+        if noise is None:
+            noise = init_noise_state(self.scan_cfg.fft_size, start_ms=now_ms)
+        self._scan_state = ScanState(
+            noise=noise,
+            averager=init_averager_state(self.scan_cfg.fft_size, self.scan_cfg.grouping_y),
+        )
+        self._pending_noise_center = center
+
+    # -- per-block processing ---------------------------------------------
+
+    def process_block(self, iq: np.ndarray, block_start_ms: int) -> List[FrequencyFlush]:
+        """Run one block through detection (+ DDC when recording).
+
+        iq: [block_samples] complex64 (or int8 [block_samples, 2] cs8).
+        Returns the last detection notification of the block.
+        """
+        cfg = self.scan_cfg
+        assert self._scan_state is not None, "set_frequency_range first"
+        group = cfg.fft_size * cfg.decimator_factor
+
+        if iq.dtype == np.int8:
+            framed = jnp.asarray(iq.reshape(cfg.frames_per_block, group, 2))
+            iq_dev = None
+        else:
+            iq_dev = jnp.asarray(iq)
+            framed = iq_dev.reshape(cfg.frames_per_block, group)
+
+        frame_ms = cfg.frame_interval_ms
+        now_arr = (
+            block_start_ms + ((1 + np.arange(cfg.frames_per_block)) * frame_ms)
+        ).astype(np.int32)
+
+        self._scan_state, outs = self._scan_step(
+            self._scan_state, framed, jnp.asarray(now_arr)
+        )
+        self._noise_states[self._pending_noise_center] = self._scan_state.noise
+
+        raw = np.asarray(outs.raw)
+        avg = np.asarray(outs.avg)
+
+        flush_any: Dict[int, bool] = {}
+        notification: List[FrequencyFlush] = []
+        for k in range(cfg.frames_per_block):
+            notification = self._tracker.process(raw[k], avg[k], int(now_arr[k]))
+            for shift, flush in notification:
+                flush_any[shift] = flush_any.get(shift, False) or flush
+        self._last_notification = notification
+
+        # merge per-frame flush flags into the block-level reconcile
+        merged = [(shift, flush_any.get(shift, False)) for shift, _ in notification]
+        self.update_recordings(merged, int(now_arr[-1]))
+
+        if self.is_recording:
+            self._run_ddc(iq_dev if iq_dev is not None else framed, block_start_ms)
+
+        self._accumulate_spectrogram(np.asarray(outs.spectro_sum), int(now_arr[-1]))
+        return notification
+
+    # -- recorder reconcile (sdr_device.cpp:82-144) ------------------------
+
+    def update_recordings(self, sorted_shifts: List[FrequencyFlush], now_ms: int) -> None:
+        waiting = {shift for shift, _ in sorted_shifts}
+
+        for rec in self._recorders:
+            if rec.is_recording and rec.shift not in waiting:
+                logger.info(
+                    LABEL,
+                    "stop recorder, frequency: {}, time: {} ms",
+                    format_frequency(self.center_frequency + rec.shift),
+                    rec.last_ms - rec.first_ms,
+                )
+                self._stop_slot(rec)
+
+        for shift, flush in sorted_shifts:
+            rec = next((r for r in self._recorders if r.shift == shift), None)
+            if rec is not None:
+                if flush:
+                    self._flush_slot(rec)
+            else:
+                free = next((r for r in self._recorders if not r.is_recording), None)
+                if free is not None:
+                    self._start_slot(free, shift, now_ms)
+                    logger.info(
+                        LABEL,
+                        "start recorder, frequency: {}",
+                        format_frequency(self.center_frequency + shift),
+                    )
+                elif shift not in self._ignored_transmissions:
+                    logger.info(
+                        LABEL,
+                        "no recorders available, frequency: {}",
+                        format_frequency(self.center_frequency + shift),
+                    )
+                    self._ignored_transmissions.add(shift)
+
+        self._ignored_transmissions = {
+            s for s in self._ignored_transmissions if s in waiting
+        }
+
+    def _start_slot(self, rec: RecorderSlot, shift: int, now_ms: int) -> None:
+        rec.shift = shift
+        rec.frequency = self.center_frequency
+        rec.first_ms = now_ms
+        rec.last_ms = now_ms
+        rec.pending = []
+        self._ddc_state = ddc_pipeline.reset_slot(self._ddc_state, rec.index)
+        shifts = np.array(
+            [r.shift if r.is_recording else 0 for r in self._recorders], dtype=np.int64
+        )
+        self._ddc_tables = ddc_pipeline.make_tables(self.ddc_cfg, shifts)
+
+    def _stop_slot(self, rec: RecorderSlot) -> None:
+        rec.shift = None
+        rec.frequency = None
+        rec.pending = []
+
+    def _flush_slot(self, rec: RecorderSlot) -> None:
+        """Drain buffered DDC output to the wire (recorder.cpp:89-97)."""
+        if not rec.pending:
+            return
+        rec.last_ms = max(rec.last_ms, rec.pending[-1][0])
+        for stream_ms, samples in rec.pending:
+            self._data_controller.push_transmission(
+                self._session_epoch_ms + stream_ms,
+                rec.frequency + rec.shift,
+                self._config.recording_bandwidth,
+                samples,
+            )
+        rec.pending = []
+
+    def _run_ddc(self, iq_dev, block_start_ms: int) -> None:
+        if isinstance(iq_dev, jnp.ndarray) and iq_dev.dtype == jnp.int8:
+            from rtl_sdr_scanner_tpu.ops.psd import dequantize_cs8
+
+            iq_dev = dequantize_cs8(iq_dev).reshape(-1)
+        else:
+            iq_dev = iq_dev.reshape(-1)
+        self._ddc_state, out = self._ddc_step(self._ddc_state, iq_dev, self._ddc_tables)
+        out_np = None
+        for rec in self._recorders:
+            if rec.is_recording:
+                if out_np is None:
+                    out_np = np.asarray(out)
+                rec.pending.append((block_start_ms, out_np[rec.index]))
+
+    # -- spectrogram egress (spectrogram.cpp:62-75) ------------------------
+
+    def _accumulate_spectrogram(self, spectro_sum: np.ndarray, now_ms: int) -> None:
+        center = self.center_frequency
+        container = self._spectro_containers.get(center)
+        if container is None:
+            container = SpectroContainer(self.scan_cfg.spectro_size, now_ms)
+            self._spectro_containers[center] = container
+        container.sum += spectro_sum
+        container.counter += self.scan_cfg.frames_per_block
+        if container.last_send_ms + self._tunables.spectrogram_send_interval_ms < now_ms:
+            # C++ float -> int8 conversion truncates toward zero
+            bins = np.trunc(container.sum / container.counter)
+            bins = np.clip(bins, -128, 127).astype(np.int8)
+            self._data_controller.push_spectrogram(
+                self._session_epoch_ms + now_ms,
+                center,
+                self._device.sample_rate,
+                bins,
+            )
+            container.sum[:] = 0.0
+            container.counter = 0
+            container.last_send_ms = now_ms
+
+
+def _fix_block_multiple(
+    cfg: ScanConfig, sample_rate: int, bandwidth: int, tunables: Tunables
+) -> ScanConfig:
+    """Grow frames_per_block minimally so block_samples divides the DDC chain
+    (static shapes through every resampler stage)."""
+    from rtl_sdr_scanner_tpu.ops.ddc import chain_block_multiple, plan_chain
+
+    mult = chain_block_multiple(plan_chain(sample_rate, bandwidth, tunables.resampler_threshold))
+    group = cfg.fft_size * cfg.decimator_factor
+    frames = cfg.frames_per_block
+    lcm = mult // math.gcd(group, mult)  # block = frames*group must have lcm | frames
+    if frames % lcm != 0:
+        frames = ((frames // lcm) + 1) * lcm
+    if frames != cfg.frames_per_block:
+        logger.info(LABEL, "frames per block adjusted: {} -> {}", cfg.frames_per_block, frames)
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, frames_per_block=frames)
+    return cfg

@@ -1,0 +1,216 @@
+"""IQ sample sources (host side).
+
+Two backends behind one interface:
+
+- ReplaySource: recorded-IQ files (cf32 / cs8 / cu8, conventions from
+  scripts/converter.py:30-39 of the reference). First-class test/bench
+  backend -- the reference has no equivalent (its weak spot per SURVEY.md
+  section 4); every BASELINE.json config starts from replayed IQ.
+- SoapySource: real hardware via SoapySDR python bindings (reference
+  sources/radio/blocks/sdr_source.cpp), gated on the bindings' presence.
+
+Sources produce fixed-size blocks of samples for the device pipeline. A block
+is (samples, stream_time_ms). Stream time derives from the sample counter --
+deterministic for replay, wall-clock-anchored for hardware.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from rtl_sdr_scanner_tpu import native
+from rtl_sdr_scanner_tpu.runtime.config import DeviceSpec
+from rtl_sdr_scanner_tpu.utils import logger
+
+LABEL = "source"
+
+
+class IqBlock(Tuple):
+    pass
+
+
+class ReplaySource:
+    """Block reader over a recorded IQ capture.
+
+    Formats (converter.py:30-39): cf32 = interleaved float32 I/Q;
+    cs8 = interleaved int8 (x/127.5); cu8 = interleaved uint8 offset-binary
+    ((x-127.5)/127.5, rtl_sdr convention).
+    """
+
+    def __init__(self, device: DeviceSpec, loop: bool = False):
+        if not device.file:
+            raise ValueError("replay device has no file")
+        self._path = device.file
+        self._format = device.file_format
+        self._rate = device.sample_rate
+        self._loop = loop
+        self._offset = 0  # in samples
+        self._center: int = 0
+        self._exhausted = False
+        if self._format == "cf32":
+            self._raw = np.memmap(self._path, dtype=np.float32, mode="r")
+            self._total = self._raw.size // 2
+        elif self._format == "cs8":
+            self._raw = np.memmap(self._path, dtype=np.int8, mode="r")
+            self._total = self._raw.size // 2
+        elif self._format == "cu8":
+            self._raw = np.memmap(self._path, dtype=np.uint8, mode="r")
+            self._total = self._raw.size // 2
+        else:
+            raise ValueError(f"unknown replay format: {self._format}")
+        logger.info(
+            LABEL,
+            "replay source: {}, format: {}, rate: {}, samples: {}",
+            self._path,
+            self._format,
+            self._rate,
+            self._total,
+        )
+
+    @property
+    def sample_rate(self) -> int:
+        return self._rate
+
+    @property
+    def exhausted(self) -> bool:
+        """True once a read could not be satisfied (non-loop mode)."""
+        return self._exhausted
+
+    def set_center_frequency(self, frequency: int) -> bool:
+        """Replay captures are fixed-band; retunes are bookkeeping only."""
+        self._center = frequency
+        return True
+
+    def reset_buffers(self) -> None:
+        pass
+
+    def stream_time_ms(self) -> int:
+        """Milliseconds of stream consumed so far (monotonic sample clock)."""
+        return int(self._offset * 1000 // self._rate)
+
+    def read_block(self, n_samples: int) -> Optional[np.ndarray]:
+        """Next n_samples as complex64, or None when exhausted.
+
+        Wraps around in loop mode (bench/soak); the partial tail of a
+        non-looping file is dropped like the reference's stream_to_vector
+        partial vector.
+        """
+        if self._offset + n_samples > self._total:
+            if not self._loop:
+                self._exhausted = True
+                return None
+            self._offset = self._offset % max(1, self._total - n_samples + 1)
+        start = self._offset * 2
+        raw = np.asarray(self._raw[start : start + n_samples * 2])
+        self._offset += n_samples
+        if self._format == "cf32":
+            return raw.view(np.complex64).copy()
+        if self._format == "cs8":
+            return native.cs8_to_complex64(raw)
+        return native.cu8_to_complex64(raw)
+
+    def read_block_int8(self, n_samples: int) -> Optional[np.ndarray]:
+        """Next n_samples as raw int8 [n, 2] (cs8) for on-device dequant --
+        quarter host->device bandwidth. Only for cs8 captures."""
+        if self._format != "cs8":
+            return None
+        if self._offset + n_samples > self._total:
+            if not self._loop:
+                self._exhausted = True
+                return None
+            self._offset = self._offset % max(1, self._total - n_samples + 1)
+        start = self._offset * 2
+        raw = np.asarray(self._raw[start : start + n_samples * 2])
+        self._offset += n_samples
+        return raw.reshape(-1, 2)
+
+
+class SoapySource:
+    """Hardware source via SoapySDR (reference sdr_source.cpp:11-90).
+
+    Disables AGC, applies per-element gains, sets the sample rate; readStream
+    with a 0.5 s timeout. Stream errors raise (the reference exit(1)s --
+    sdr_source.cpp:38-41 -- recovery is the supervisor's job).
+    """
+
+    def __init__(self, device: DeviceSpec):  # pragma: no cover - hardware path
+        import SoapySDR  # type: ignore
+
+        self._soapy = SoapySDR
+        self._device = SoapySDR.Device({"serial": device.serial, "driver": device.driver})
+        self._rate = device.sample_rate
+        self._driver = device.driver
+        self._dev_spec = device
+        try:
+            self._device.setGainMode(SoapySDR.SOAPY_SDR_RX, 0, False)  # AGC off
+        except Exception:
+            pass
+        for name, value in device.gains:
+            self._device.setGain(SoapySDR.SOAPY_SDR_RX, 0, name, value)
+        self._device.setSampleRate(SoapySDR.SOAPY_SDR_RX, 0, device.sample_rate)
+        self._stream = self._device.setupStream(SoapySDR.SOAPY_SDR_RX, "CF32")
+        self._device.activateStream(self._stream)
+        self._samples_read = 0
+        self._epoch_ms = int(time.time() * 1000)
+
+    @property
+    def sample_rate(self) -> int:
+        return self._rate
+
+    @property
+    def exhausted(self) -> bool:
+        return False
+
+    def stream_time_ms(self) -> int:  # pragma: no cover - hardware path
+        return int(self._samples_read * 1000 // self._rate)
+
+    def set_center_frequency(self, frequency: int) -> bool:  # pragma: no cover
+        """x10 retry like sdr_source.cpp:82-88."""
+        for _ in range(10):
+            try:
+                self._device.setFrequency(self._soapy.SOAPY_SDR_RX, 0, frequency)
+                return True
+            except Exception:
+                time.sleep(0.01)
+        return False
+
+    def reset_buffers(self) -> None:  # pragma: no cover - hardware path
+        """rtlsdr quirk handling (sdr_source.cpp:68-78): re-set sample rate for
+        rtlsdr, reopen the stream otherwise."""
+        if self._driver == "rtlsdr":
+            self._device.setSampleRate(self._soapy.SOAPY_SDR_RX, 0, self._rate)
+        else:
+            self._device.deactivateStream(self._stream)
+            self._device.activateStream(self._stream)
+
+    def read_block(self, n_samples: int) -> Optional[np.ndarray]:  # pragma: no cover
+        out = np.empty(n_samples, dtype=np.complex64)
+        got = 0
+        while got < n_samples:
+            sr = self._device.readStream(
+                self._stream, [out[got:]], n_samples - got, timeoutUs=500000
+            )
+            if sr.ret <= 0:
+                raise RuntimeError(f"readStream error: {sr.ret}")
+            got += sr.ret
+        self._samples_read += n_samples
+        return out
+
+    def read_block_int8(self, n_samples: int):  # pragma: no cover
+        return None
+
+    def close(self) -> None:  # pragma: no cover - hardware path
+        self._device.deactivateStream(self._stream)
+        self._device.closeStream(self._stream)
+
+
+def make_source(device: DeviceSpec, loop: bool = False):
+    """Backend factory: file-backed devices replay; others need SoapySDR."""
+    if device.file:
+        return ReplaySource(device, loop=loop)
+    return SoapySource(device)
