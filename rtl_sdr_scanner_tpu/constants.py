@@ -56,6 +56,13 @@ class Tunables:
     # transfer IQ to device as int8 (cs8) and dequantize on-device, saving
     # 4x host->device bandwidth vs complex64.
     int8_ingest: bool = True
+    # keep the detector math on device and ship compact top-K candidate
+    # summaries instead of full power rows (ops/detect.py). Full-row mode is
+    # the bit-exact parity reference.
+    compact_detection: bool = True
+    # compact mode geometry: candidate capacity and tracked-key slots
+    detection_top_k: int = 64
+    detection_key_slots: int = 16
 
 
 # Module-level default instance; runtime code takes a Tunables argument and

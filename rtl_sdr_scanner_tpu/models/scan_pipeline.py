@@ -148,3 +148,74 @@ def _scan_block(
 def make_scan_step(cfg: ScanConfig):
     """Jitted block step for a given pipeline geometry."""
     return jax.jit(functools.partial(_scan_block, cfg), donate_argnums=(0,))
+
+
+# -- compact mode -----------------------------------------------------------
+#
+# Full rows cost fft_size*4 bytes/frame device->host; compact mode keeps the
+# detector math on device (ops/detect.py) and ships a few KB per block. The
+# runtime uses it by default on TPU; full mode is the parity reference.
+
+
+class CompactScanOutputs(NamedTuple):
+    compact: "CompactOutputs"  # noqa: F821
+    spectro_sum: jnp.ndarray  # [spectro_size]
+    noise_ready: jnp.ndarray  # scalar bool AFTER this block
+
+
+def _compact_scan_block(
+    cfg: ScanConfig,
+    group_size: int,
+    top_k: int,
+    state: ScanState,
+    iq: jnp.ndarray,
+    now_ms: jnp.ndarray,
+    keys: jnp.ndarray,  # [S] i32 tracked keys (block start)
+    valid_mask: jnp.ndarray,  # [fft] bool
+    start_level: jnp.ndarray,  # scalar f32
+) -> Tuple[ScanState, CompactScanOutputs]:
+    from rtl_sdr_scanner_tpu.ops.averager import ordered_history
+    from rtl_sdr_scanner_tpu.ops.detect import compact_detection
+
+    if iq.dtype == jnp.int8:
+        iq = dequantize_cs8(iq)
+    frames = iq[:, : cfg.fft_size]
+    power = psd_frames(frames, float(cfg.sample_rate))
+
+    # newest (depth - depth//2 - 1) ring rows BEFORE this block feed the vote
+    half_depth = cfg.grouping_y - cfg.grouping_y // 2
+    prev_tail = ordered_history(state.averager)[-(half_depth - 1) :]
+
+    def body(carry: ScanState, inp):
+        p, t = inp
+        noise_state, raw = noise_step(carry.noise, p, t, cfg.noise_learning_ms)
+        avg_state, mean = averager_step(carry.averager, raw)
+        return ScanState(noise_state, avg_state), (raw, mean)
+
+    state, (raw_rows, mean_rows) = jax.lax.scan(body, state, (power, now_ms))
+    avg_rows = sliding_average(mean_rows, cfg.grouping_x)
+
+    compact = compact_detection(
+        avg_rows,
+        raw_rows,
+        prev_tail,
+        keys,
+        valid_mask,
+        start_level,
+        group_size,
+        top_k,
+    )
+    spectro = accumulate_frames(power, cfg.spectro_size)
+    return state, CompactScanOutputs(
+        compact=compact, spectro_sum=spectro, noise_ready=state.noise.ready
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def make_compact_scan_step(cfg: ScanConfig, group_size: int, top_k: int = 64):
+    """Jitted compact block step: (state, iq, now, keys, valid_mask,
+    start_level) -> (state, CompactScanOutputs)."""
+    return jax.jit(
+        functools.partial(_compact_scan_block, cfg, group_size, top_k),
+        donate_argnums=(0,),
+    )

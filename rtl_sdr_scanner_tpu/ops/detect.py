@@ -1,0 +1,133 @@
+"""Device-side detection compaction.
+
+The reference detector consumes full power rows on the CPU (transmission.cpp).
+A TPU deployment cannot afford shipping full fft-size rows to the host every
+frame (device->host bandwidth), so the detection-relevant information is
+compacted ON DEVICE to a few KB per block:
+
+- top-K candidate bins of the smoothed row (masked to in-range & not-ignored),
+  with the exact count above start level (overflow detection);
+- the reference's history vote (Transmission::getBestIndex,
+  transmission.cpp:132-154) computed on device per candidate: windowed argmax
+  over the newest half of the raw-row ring, mode with the C++ median-of-ties
+  rule (collection_utils.h:29-50);
+- per-tracked-key windowed argmax of the smoothed row
+  (Transmission::updateSignals, transmission.cpp:113-130) for host-provided
+  key slots.
+
+The host tracker consumes these in compact mode
+(runtime/transmission_tracker.py process_compact); full-row mode remains the
+bit-exact parity reference. Semantics match except two bounded cases:
+candidate overflow (> K bins above level in one frame; host logs) and signals
+added mid-block (updates approximated from candidates until the next block).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class CompactOutputs(NamedTuple):
+    cand_idx: jnp.ndarray  # [F, K] i32 candidate bins, value-sorted desc
+    cand_val: jnp.ndarray  # [F, K] f32 smoothed power at candidate
+    cand_best: jnp.ndarray  # [F, K] i32 history-vote result per candidate
+    cand_count: jnp.ndarray  # [F] i32 number of bins >= start_level (masked)
+    key_val: jnp.ndarray  # [F, S] f32 windowed max of avg around each key
+    key_idx: jnp.ndarray  # [F, S] i32 argmax position for key_val
+
+
+def _windowed_argmax(rows: jnp.ndarray, centers: jnp.ndarray, half: int, fft: int):
+    """First-max argmax of rows[..., :] in [center-half, center+half] clamped.
+
+    rows: [..., fft]; centers: [C] i32 -> values [..., C], indices [..., C].
+    Clamping duplicates edge bins; first-occurrence argmax then resolves to
+    the same index the reference's shrunken window produces.
+    """
+    w = 2 * half + 1
+    offs = jnp.arange(-half, half + 1, dtype=jnp.int32)
+    idx = jnp.clip(centers[:, None] + offs[None, :], 0, fft - 1)  # [C, w]
+    gathered = rows[..., idx]  # [..., C, w]
+    pos = jnp.argmax(gathered, axis=-1)  # first max
+    best_idx = jnp.take_along_axis(
+        jnp.broadcast_to(idx, pos.shape + (w,)), pos[..., None], axis=-1
+    )[..., 0]
+    best_val = jnp.take_along_axis(gathered, pos[..., None], axis=-1)[..., 0]
+    return best_val, best_idx
+
+
+def _mode_median_ties(votes: jnp.ndarray, valid: jnp.ndarray, fallback: jnp.ndarray):
+    """C++ mostFrequentValue over the valid votes of each row.
+
+    votes: [..., H] i32; valid: [..., H] bool; fallback used when none valid.
+    Rule (collection_utils.h:29-50): among values sharing the max count, take
+    the median of the sorted distinct values ([n_tied // 2]).
+    """
+    h = votes.shape[-1]
+    big = jnp.int32(2**30)
+    v = jnp.where(valid, votes, big)  # invalid sorts to the end
+    eq = v[..., :, None] == v[..., None, :]  # [..., H, H]
+    counts = jnp.sum(eq & valid[..., None, :], axis=-1)  # votes among valid
+    counts = jnp.where(valid, counts, 0)
+    maxc = jnp.max(counts, axis=-1, keepdims=True)
+    is_tied = (counts == maxc) & valid
+    # first occurrence of each value: no earlier position holds the same value
+    earlier = jnp.tril(jnp.ones((h, h), dtype=bool), k=-1)
+    first_occ = jnp.sum(eq & earlier, axis=-1) == 0
+    rep = is_tied & first_occ  # distinct tied values, one representative each
+    # sort distinct tied values ascending; pick element [n_tied // 2]
+    tied_sorted = jnp.sort(jnp.where(rep, v, big), axis=-1)
+    n_tied = jnp.sum(rep, axis=-1)
+    pick = jnp.take_along_axis(
+        tied_sorted, (n_tied // 2)[..., None].astype(jnp.int32), axis=-1
+    )[..., 0]
+    any_valid = jnp.any(valid, axis=-1)
+    return jnp.where(any_valid, pick, fallback)
+
+
+def compact_detection(
+    avg: jnp.ndarray,  # [F, fft] smoothed rows
+    raw: jnp.ndarray,  # [F, fft] raw (noise-subtracted) rows of this block
+    prev_tail: jnp.ndarray,  # [half-1, fft] newest ordered ring rows pre-block
+    keys: jnp.ndarray,  # [S] i32 tracked signal keys (block start)
+    valid_mask: jnp.ndarray,  # [fft] bool: in-range & not ignored
+    start_level: float,
+    group_size: int,
+    top_k: int,
+) -> CompactOutputs:
+    f, fft = avg.shape
+    half = group_size // 2
+    neg = jnp.float32(-3.0e38)
+
+    masked = jnp.where(valid_mask[None, :], avg, neg)
+    cand_val, cand_idx = jax.lax.top_k(masked, top_k)  # sorted desc, first-index ties
+    cand_count = jnp.sum(masked >= start_level, axis=-1).astype(jnp.int32)
+
+    # history vote: rows k-10..k (global) = hist[k : k+half_depth]
+    hist = jnp.concatenate([prev_tail, raw], axis=0)  # [half_depth-1+F, fft]
+    half_depth = prev_tail.shape[0] + 1
+    row_sel = (
+        jnp.arange(f, dtype=jnp.int32)[:, None] + jnp.arange(half_depth, dtype=jnp.int32)[None, :]
+    )  # [F, H]
+    rows = hist[row_sel]  # [F, H, fft]
+
+    def per_frame(rows_f, cand_f):
+        vals, idxs = _windowed_argmax(rows_f, cand_f, half, fft)  # [H, K]
+        valid = vals >= start_level
+        return _mode_median_ties(idxs.T, valid.T, cand_f)  # [K]
+
+    cand_best = jax.vmap(per_frame)(rows, cand_idx)
+
+    key_val, key_idx = jax.vmap(lambda row: _windowed_argmax(row, keys, half, fft))(avg)
+
+    return CompactOutputs(
+        cand_idx=cand_idx.astype(jnp.int32),
+        cand_val=cand_val,
+        cand_best=cand_best.astype(jnp.int32),
+        cand_count=cand_count,
+        key_val=key_val,
+        key_idx=key_idx.astype(jnp.int32),
+    )

@@ -1,0 +1,118 @@
+"""Multi-band, multi-chip scan + DDC.
+
+The north-star upgrade over the reference: instead of one SDR thread
+time-multiplexing hop ranges at 500 ms dwell (scanner.cpp:46-60), a mesh
+scans B bands CONCURRENTLY -- band b on mesh coordinate b % n_bands -- with
+per-band carry state sharded alongside.
+
+Two device programs:
+
+- make_sharded_scan_step(cfg, mesh): vmapped scan block over a leading bands
+  axis, sharded over the mesh "bands" axis. Embarrassingly parallel: XLA
+  inserts no collectives; scaling is linear by construction.
+- make_time_sharded_ddc(cfg, mesh): one band's long IQ block sharded over the
+  "time" axis with overlap-save halo exchange (parallel/halo.py) through the
+  resampler chain -- for rates beyond a single chip's ingest.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rtl_sdr_scanner_tpu.models.ddc_pipeline import DdcConfig
+from rtl_sdr_scanner_tpu.models.scan_pipeline import (
+    ScanConfig,
+    ScanState,
+    _scan_block,
+    init_scan_state,
+)
+from rtl_sdr_scanner_tpu.ops.ddc import NcoTables, chain_output_length
+from rtl_sdr_scanner_tpu.parallel.halo import resample_chain_sharded
+from rtl_sdr_scanner_tpu.parallel.mesh import BANDS_AXIS, TIME_AXIS, band_sharding
+
+
+def init_banded_state(cfg: ScanConfig, n_bands: int, mesh: Mesh, start_ms=0) -> ScanState:
+    """Band-stacked scan state, placed with the bands sharding."""
+    one = init_scan_state(cfg, start_ms)
+    stacked = jax.tree.map(lambda a: jnp.broadcast_to(a, (n_bands,) + a.shape), one)
+    return jax.device_put(stacked, band_sharding(mesh))
+
+
+def make_sharded_scan_step(cfg: ScanConfig, mesh: Mesh):
+    """(state[B,...], iq[B, frames, group], now[B, frames]) -> (state, outs).
+
+    All leading axes shard over "bands"; per-band pipelines are independent,
+    so the partitioned program runs without collectives.
+    """
+    shard = NamedSharding(mesh, P(BANDS_AXIS))
+
+    vmapped = jax.vmap(functools.partial(_scan_block, cfg))
+    return jax.jit(
+        vmapped,
+        in_shardings=(
+            jax.tree.map(lambda _: shard, init_scan_state(cfg)),
+            shard,
+            shard,
+        ),
+        out_shardings=(
+            jax.tree.map(lambda _: shard, init_scan_state(cfg)),
+            shard,
+        ),
+        donate_argnums=(0,),
+    )
+
+
+def make_time_sharded_ddc(cfg: DdcConfig, mesh: Mesh):
+    """One band's block time-sharded across the "time" axis, K slots batched.
+
+    (iq[n_global] c64, tables) -> int8 [K, out_global, 2]. Rotation uses
+    per-shard NCO tables (the host builds tables for the GLOBAL chunk length
+    so each shard indexes its own angle slice exactly); stage tails come from
+    the left neighbor via ppermute.
+    """
+    n_time = mesh.shape[TIME_AXIS]
+
+    def shard_fn(iq_local: jnp.ndarray, coarse_local, fine, phase0) -> jnp.ndarray:
+        # iq_local: [1, n_local]; coarse_local: [K, nq_local] -- shard_map
+        # hands each time shard its own slice of the global angle tables
+        k = phase0.shape[0]
+        angle = (
+            phase0[:, None, None] + coarse_local[:, :, None] + fine[:, None, :]
+        ).reshape(k, -1)
+        y = jnp.stack(
+            [
+                jnp.real(iq_local) * jnp.cos(angle) - jnp.imag(iq_local) * jnp.sin(angle),
+                jnp.real(iq_local) * jnp.sin(angle) + jnp.imag(iq_local) * jnp.cos(angle),
+            ],
+            axis=1,
+        )  # [K, 2, n_local]
+        y = resample_chain_sharded(y, cfg.plans, TIME_AXIS)
+        out = jnp.clip(jnp.round(jnp.moveaxis(y, 1, 2) * 127.0), -128, 127).astype(jnp.int8)
+        return out
+
+    fn = jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(
+            P(None, TIME_AXIS),  # iq [1, n_global] split on time
+            P(None, TIME_AXIS),  # coarse [K, n_q_global] split on time
+            P(None, None),  # fine [K, Q] replicated
+            P(None),  # phase0 [K] replicated
+        ),
+        out_specs=P(None, TIME_AXIS, None),  # [K, out_global, 2] split on time
+        check_vma=False,
+    )
+
+    def step(iq_global: jnp.ndarray, tables: NcoTables) -> jnp.ndarray:
+        out = fn(
+            iq_global[None, :], tables.coarse, tables.fine, jnp.zeros_like(tables.step)
+        )
+        return out
+
+    return jax.jit(step)

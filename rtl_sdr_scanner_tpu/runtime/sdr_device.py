@@ -95,8 +95,21 @@ class SdrDevice:
             self.scan_cfg.block_samples,
             self._tunables.resampler_threshold,
         )
-        self._scan_step = make_scan_step(self.scan_cfg)
+        cfg0 = self.scan_cfg
+        self._group_size_early = int(math.ceil(config.recording_bandwidth / cfg0.step_hz))
+        self._compact = self._tunables.compact_detection
+        if self._compact:
+            from rtl_sdr_scanner_tpu.models.scan_pipeline import make_compact_scan_step
+
+            self._scan_step = make_compact_scan_step(
+                self.scan_cfg,
+                self._group_size_early,
+                self._tunables.detection_top_k,
+            )
+        else:
+            self._scan_step = make_scan_step(self.scan_cfg)
         self._ddc_step = ddc_pipeline.make_ddc_step(self.ddc_cfg)
+        self._valid_mask_dev = None  # per-retune device copy of the bin mask
 
         cfg = self.scan_cfg
         logger.info(
@@ -186,6 +199,7 @@ class SdrDevice:
             averager=init_averager_state(self.scan_cfg.fft_size, self.scan_cfg.grouping_y),
         )
         self._pending_noise_center = center
+        self._valid_mask_dev = None  # recomputed lazily for the new range
 
     # -- per-block processing ---------------------------------------------
 
@@ -211,20 +225,52 @@ class SdrDevice:
             block_start_ms + ((1 + np.arange(cfg.frames_per_block)) * frame_ms)
         ).astype(np.int32)
 
-        self._scan_state, outs = self._scan_step(
-            self._scan_state, framed, jnp.asarray(now_arr)
-        )
-        self._noise_states[self._pending_noise_center] = self._scan_state.noise
-
-        raw = np.asarray(outs.raw)
-        avg = np.asarray(outs.avg)
-
         flush_any: Dict[int, bool] = {}
         notification: List[FrequencyFlush] = []
-        for k in range(cfg.frames_per_block):
-            notification = self._tracker.process(raw[k], avg[k], int(now_arr[k]))
-            for shift, flush in notification:
-                flush_any[shift] = flush_any.get(shift, False) or flush
+        if self._compact:
+            if self._valid_mask_dev is None:
+                self._valid_mask_dev = jnp.asarray(self._tracker._compute_valid_mask())
+            slot_keys = self._tracker.current_keys(self._tunables.detection_key_slots)
+            self._scan_state, outs = self._scan_step(
+                self._scan_state,
+                framed,
+                jnp.asarray(now_arr),
+                jnp.asarray(slot_keys),
+                self._valid_mask_dev,
+                jnp.float32(self._device.start_level),
+            )
+            self._noise_states[self._pending_noise_center] = self._scan_state.noise
+            c = outs.compact
+            cand_idx = np.asarray(c.cand_idx)
+            cand_val = np.asarray(c.cand_val)
+            cand_best = np.asarray(c.cand_best)
+            cand_count = np.asarray(c.cand_count)
+            key_val = np.asarray(c.key_val)
+            key_idx = np.asarray(c.key_idx)
+            for k in range(cfg.frames_per_block):
+                notification = self._tracker.process_compact(
+                    cand_idx[k],
+                    cand_val[k],
+                    cand_best[k],
+                    int(cand_count[k]),
+                    slot_keys,
+                    key_val[k],
+                    key_idx[k],
+                    int(now_arr[k]),
+                )
+                for shift, flush in notification:
+                    flush_any[shift] = flush_any.get(shift, False) or flush
+        else:
+            self._scan_state, outs = self._scan_step(
+                self._scan_state, framed, jnp.asarray(now_arr)
+            )
+            self._noise_states[self._pending_noise_center] = self._scan_state.noise
+            raw = np.asarray(outs.raw)
+            avg = np.asarray(outs.avg)
+            for k in range(cfg.frames_per_block):
+                notification = self._tracker.process(raw[k], avg[k], int(now_arr[k]))
+                for shift, flush in notification:
+                    flush_any[shift] = flush_any.get(shift, False) or flush
         self._last_notification = notification
 
         # merge per-frame flush flags into the block-level reconcile

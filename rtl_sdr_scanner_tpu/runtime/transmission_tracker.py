@@ -250,3 +250,85 @@ class TransmissionTracker:
     @property
     def active_count(self) -> int:
         return len(self._signals)
+
+    # -- compact mode ------------------------------------------------------
+    #
+    # Device-side detection compaction (ops/detect.py): the per-bin math and
+    # the history vote already happened on device; the host consumes top-K
+    # candidates + per-key windowed argmaxes. Semantics match full mode
+    # except two bounded cases documented in ops/detect.py.
+
+    def current_keys(self, slots: int) -> np.ndarray:
+        """Tracked keys padded to a fixed slot count (unused slots -1)."""
+        keys = np.full(slots, -1, dtype=np.int32)
+        for i, k in enumerate(sorted(self._signals.keys())[:slots]):
+            keys[i] = k
+        return keys
+
+    def process_compact(
+        self,
+        cand_idx: np.ndarray,  # [K] i32 desc by value
+        cand_val: np.ndarray,  # [K] f32
+        cand_best: np.ndarray,  # [K] i32 device history vote
+        cand_count: int,
+        slot_keys: np.ndarray,  # [S] the keys the device computed argmax for
+        key_val: np.ndarray,  # [S] f32
+        key_idx: np.ndarray,  # [S] i32
+        now_ms: int,
+    ) -> List[FrequencyFlush]:
+        """One frame in compact mode (mirrors process())."""
+        k = len(cand_idx)
+        if cand_count > k and not getattr(self, "_overflow_warned", False):
+            logger.warn(
+                LABEL,
+                "candidate overflow: {} bins above level, top-{} kept",
+                int(cand_count),
+                k,
+            )
+            self._overflow_warned = True
+
+        # addSignals: candidates arrive value-sorted desc; stop at threshold
+        for i in range(min(int(cand_count), k)):
+            index = int(cand_idx[i])
+            if cand_val[i] < self._start_level:
+                break
+            if contains_with_margin(self._signals.keys(), index, self._group_size) is None:
+                best = int(cand_best[i])
+                if best in self._signals:
+                    continue
+                logger.info(
+                    LABEL,
+                    "signal: {}, start: {}, avg power: {}",
+                    format_frequency(self._index_to_frequency(best)),
+                    format_frequency(
+                        get_tuned_frequency(self._index_to_frequency(best), self._tuning_step)
+                    ),
+                    format_power(float(cand_val[i])),
+                )
+                self._signals[best] = Signal(
+                    now_ms,
+                    self._start_level,
+                    self._stop_level,
+                    self._min_time_ms,
+                    self._timeout_ms,
+                    self._max_time_ms,
+                )
+
+        # updateSignals: exact for keys the device knew; signals added after
+        # the block started fall back to the nearest candidate in-window
+        slot_of = {int(sk): s for s, sk in enumerate(slot_keys) if sk >= 0}
+        half = self._group_size // 2
+        for index, signal in self._signals.items():
+            if index in slot_of:
+                s = slot_of[index]
+                signal.new_data(int(key_idx[s]), float(key_val[s]), now_ms)
+            else:
+                in_win = np.abs(cand_idx - index) <= half
+                in_win &= np.arange(len(cand_idx)) < int(cand_count)
+                if np.any(in_win):
+                    j = int(np.argmax(np.where(in_win, cand_val, -np.inf)))
+                    signal.new_data(int(cand_idx[j]), float(cand_val[j]), now_ms)
+                # else: no information this frame; defer to the next block
+
+        self._clear_signals(now_ms)
+        return self._sorted_transmissions(now_ms)

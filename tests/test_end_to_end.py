@@ -35,8 +35,9 @@ def _write_capture(path, seconds=10.0, key_from=3.0, key_to=7.0):
     iq.astype(np.complex64).view(np.float32).tofile(path)
 
 
-def _config(tmp_path, capture):
+def _config(tmp_path, capture, compact=True):
     raw = default_config_json()
+    raw["tunables"] = {"compact_detection": compact}
     raw["recording"] = {
         "max_noise_time_ms": 1000,
         "min_sample_rate": 16000,
@@ -65,10 +66,11 @@ def _config(tmp_path, capture):
     return Config.load_from_file(str(path), scan_hardware=False)
 
 
-def test_replay_scan_end_to_end(tmp_path):
+@pytest.mark.parametrize("compact", [False, True], ids=["full", "compact"])
+def test_replay_scan_end_to_end(tmp_path, compact):
     capture = tmp_path / "fm.cf32"
     _write_capture(capture)
-    cfg = _config(tmp_path, capture)
+    cfg = _config(tmp_path, capture, compact=compact)
 
     mqtt = NullMqtt()
     mqtt.keep_payloads = True
