@@ -32,8 +32,10 @@ from rtl_sdr_scanner_tpu.ops.averager import init_averager_state
 from rtl_sdr_scanner_tpu.ops.noise import NoiseState, init_noise_state
 from rtl_sdr_scanner_tpu.runtime.config import Config, DeviceSpec
 from rtl_sdr_scanner_tpu.runtime.data_controller import DataController
+from rtl_sdr_scanner_tpu.runtime.file_sink import FileSink
 from rtl_sdr_scanner_tpu.runtime.transmission_tracker import FrequencyFlush, TransmissionTracker
 from rtl_sdr_scanner_tpu.utils import logger
+from rtl_sdr_scanner_tpu.utils.perf import PerformanceLogger
 from rtl_sdr_scanner_tpu.utils.radio_utils import format_frequency
 
 LABEL = "sdr"
@@ -151,6 +153,23 @@ class SdrDevice:
 
         self._spectro_containers: Dict[int, SpectroContainer] = {}
         self._last_notification: List[FrequencyFlush] = []
+        self._perf = PerformanceLogger("PSD", self._tunables)
+
+        # debug raw-dump taps (reference sdr_device.cpp:173-181,
+        # recorder.cpp:42-45); power taps need full rows, so they force
+        # full-row mode
+        t = self._tunables
+        self._power_sink = FileSink("full", "power") if t.debug_save_full_power else None
+        self._raw_iq_sink = FileSink("full", "fc") if t.debug_save_full_raw_iq else None
+        self._rec_sinks = (
+            [FileSink("recording", "cs8") for _ in range(recorders_count)]
+            if t.debug_save_recording_raw_iq
+            else None
+        )
+        if self._power_sink is not None and self._compact:
+            logger.warn(LABEL, "debug_save_full_power forces full-row detection mode")
+            self._compact = False
+            self._scan_step = make_scan_step(self.scan_cfg)
 
         logger.info(
             LABEL,
@@ -184,8 +203,16 @@ class SdrDevice:
     def set_frequency_range(self, frequency_range: Tuple[int, int], now_ms: int) -> None:
         """sdr_device.cpp:54-80 minus the hardware-source blocking dance
         (gating is implicit: the host does not feed blocks while retuning)."""
+        if self._power_sink is not None:
+            self._power_sink.stop()
+        if self._raw_iq_sink is not None:
+            self._raw_iq_sink.stop()
         self._frequency_range = frequency_range
         center = self.center_frequency
+        if self._power_sink is not None:
+            self._power_sink.start(center, self._device.sample_rate)
+        if self._raw_iq_sink is not None:
+            self._raw_iq_sink.start(center, self._device.sample_rate)
         self._tracker.reset()
         for rec in self._recorders:
             if rec.is_recording:
@@ -267,11 +294,19 @@ class SdrDevice:
             self._noise_states[self._pending_noise_center] = self._scan_state.noise
             raw = np.asarray(outs.raw)
             avg = np.asarray(outs.avg)
+            if self._power_sink is not None and self._power_sink.recording:
+                # NOTE: reference taps raw PSD pre-noise (sdr_device.cpp:175);
+                # these rows are power-minus-noise-floor
+                self._power_sink.write(raw)
             for k in range(cfg.frames_per_block):
                 notification = self._tracker.process(raw[k], avg[k], int(now_arr[k]))
                 for shift, flush in notification:
                     flush_any[shift] = flush_any.get(shift, False) or flush
         self._last_notification = notification
+        for _ in range(cfg.frames_per_block):
+            self._perf.kick()
+        if self._raw_iq_sink is not None and self._raw_iq_sink.recording and iq.dtype != np.int8:
+            self._raw_iq_sink.write(iq.astype(np.complex64))
 
         # merge per-frame flush flags into the block-level reconcile
         merged = [(shift, flush_any.get(shift, False)) for shift, _ in notification]
@@ -369,6 +404,11 @@ class SdrDevice:
                 if out_np is None:
                     out_np = np.asarray(out)
                 rec.pending.append((block_start_ms, out_np[rec.index]))
+                if self._rec_sinks is not None:
+                    sink = self._rec_sinks[rec.index]
+                    if not sink.recording:
+                        sink.start(rec.frequency + rec.shift, self._config.recording_bandwidth)
+                    sink.write(out_np[rec.index])
 
     # -- spectrogram egress (spectrogram.cpp:62-75) ------------------------
 
