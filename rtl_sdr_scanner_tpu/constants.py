@@ -63,6 +63,9 @@ class Tunables:
     # compact mode geometry: candidate capacity and tracked-key slots
     detection_top_k: int = 64
     detection_key_slots: int = 16
+    # persist learned noise floors across restarts ("" = relearn like the
+    # reference, noise_learner.cpp:69-72); path gets the device name appended
+    noise_state_path: str = ""
 
 
 # Module-level default instance; runtime code takes a Tunables argument and

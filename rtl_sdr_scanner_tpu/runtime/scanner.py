@@ -43,6 +43,16 @@ class Scanner:
         self._tunables = config.tunables
         self._source = make_source(device_spec, loop=loop_replay)
         self.device = SdrDevice(config, device_spec, mqtt, recorders_count)
+        self._noise_path = (
+            f"{config.tunables.noise_state_path}.{device_spec.name}.npz"
+            if config.tunables.noise_state_path
+            else None
+        )
+        if self._noise_path:
+            import os
+
+            if os.path.exists(self._noise_path):
+                self.device.load_noise_state(self._noise_path)
         self._ranges: List[Tuple[int, int]] = split_ranges(
             device_spec.ranges, get_range_split_sample_rate(device_spec.sample_rate)
         )
@@ -149,6 +159,8 @@ class Scanner:
         if self._thread is not None:
             self._thread.join(timeout=10)
             self._thread = None
+        if self._noise_path:
+            self.device.save_noise_state(self._noise_path)
 
 
 def _is_replay(source) -> bool:

@@ -410,6 +410,41 @@ class SdrDevice:
                         sink.start(rec.frequency + rec.shift, self._config.recording_bandwidth)
                     sink.write(out_np[rec.index])
 
+    # -- noise-floor snapshot/resume ---------------------------------------
+    #
+    # SURVEY.md section 5: the reference relearns the noise floor (2 s per
+    # hop) after every restart because thresholds are in-memory only
+    # (noise_learner.cpp:69-72). Persisting the per-frequency max-hold state
+    # makes restarts resume scanning immediately.
+
+    def save_noise_state(self, path: str) -> None:
+        data = {}
+        for freq, state in self._noise_states.items():
+            if bool(state.ready):
+                data[f"t_{freq}"] = np.asarray(state.threshold)
+        if data:
+            np.savez_compressed(path, **data)
+            logger.info(LABEL, "noise state saved: {} ranges -> {}", len(data), path)
+
+    def load_noise_state(self, path: str) -> None:
+        from rtl_sdr_scanner_tpu.ops.noise import NoiseState
+
+        try:
+            with np.load(path) as archive:
+                for name in archive.files:
+                    freq = int(name[2:])
+                    threshold = archive[name]
+                    if threshold.shape != (self.scan_cfg.fft_size,):
+                        continue  # geometry changed; relearn
+                    self._noise_states[freq] = NoiseState(
+                        threshold=jnp.asarray(threshold),
+                        ready=jnp.asarray(True),
+                        start_ms=jnp.asarray(0, dtype=jnp.int32),
+                    )
+            logger.info(LABEL, "noise state loaded: {} ranges", len(self._noise_states))
+        except (OSError, ValueError) as exc:
+            logger.warn(LABEL, "noise state load failed: {}", exc)
+
     # -- spectrogram egress (spectrogram.cpp:62-75) ------------------------
 
     def _accumulate_spectrogram(self, spectro_sum: np.ndarray, now_ms: int) -> None:
