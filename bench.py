@@ -1,23 +1,24 @@
 """Headline benchmark: sustained IQ samples/s/chip through scan + DDC.
 
-Geometry: the reference's maximum demonstrated configuration -- 20.48 Msps
-(HackRF-class), fft 131072, detection decimated to ~50 frames/s
-(BASELINE.md). The reference is a realtime CPU application: it processes at
-most sample_rate samples per second by design, so vs_baseline is the
-realtime multiple: samples_per_second / 20.48e6.
+Geometry per band: the reference's maximum demonstrated configuration --
+20.48 Msps (HackRF-class), fft 131072, detection decimated to ~50 frames/s
+(BASELINE.md). The reference is a realtime CPU application scanning ONE band
+at a time (sequential 500 ms dwells); this framework scans B bands
+CONCURRENTLY per chip, so the headline is aggregate samples/s/chip.
+vs_baseline is the realtime multiple: samples_per_second / 20.48e6.
 
-Measured pipeline per block (the production TPU path the runtime drives):
-  int8 IQ block from the device-resident ingest ring
+Measured pipeline per block and band (the production TPU path):
+  int8 IQ from the device-resident ingest ring
   -> dequant -> frame/window/FFT/PSD -> noise floor -> time averager
   -> frequency smoothing -> compact detection (top-K + history vote
-     + per-key argmax, ops/detect.py) -> ~20 KB to host
-  + 8-slot DDC: exact NCO rotate -> 2-stage polyphase resample -> int8 IQ out
+     + per-key argmax, ops/detect.py) -> ~20 KB/band to host
+  + 2-slot DDC per band: exact NCO rotate -> polyphase resample -> int8 IQ
 
 Ingest note: this environment reaches the TPU through a ~40 MB/s network
-tunnel, so the bench stages the capture into device HBM once (an ingest ring)
-and streams from there -- measuring the framework, not the tunnel. On real
-TPU hosts the SDR feed enters over PCIe (order 10 GB/s) and is not the
-bottleneck. Pass --host-fed to include per-block host uploads instead.
+tunnel, so the bench stages the capture into HBM once (an ingest ring) and
+streams from there -- measuring the framework, not the tunnel. On real TPU
+hosts the SDR feed enters over PCIe (order 10 GB/s). Pass --host-fed to
+include per-block host uploads instead.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -25,6 +26,7 @@ Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -34,71 +36,71 @@ import numpy as np
 RATE = 20_480_000
 BASELINE_SAMPLES_PER_S = 20_480_000.0  # reference realtime envelope
 FRAMES = 20  # smallest multiple of 5 >= 16 (DDC divisibility at 20.48M/16k)
-SLOTS = 8
-RING = 4  # device-resident ingest ring depth (blocks)
+SLOTS_PER_BAND = 2
+RING = 2  # ingest ring depth (blocks) per band
 WARMUP = 3
 
 
-def main() -> int:
-    parser = argparse.ArgumentParser()
-    parser.add_argument("--host-fed", action="store_true", help="upload each block from host")
-    parser.add_argument("--seconds", type=float, default=8.0)
-    args = parser.parse_args()
-
+def bench_bands(n_bands: int, seconds: float, host_fed: bool):
     import jax
     import jax.numpy as jnp
 
-    from rtl_sdr_scanner_tpu.models.ddc_pipeline import DdcConfig, make_ddc_step
+    from rtl_sdr_scanner_tpu.models.ddc_pipeline import DdcConfig, _ddc_block
     from rtl_sdr_scanner_tpu.models.ddc_pipeline import init_state as ddc_init
     from rtl_sdr_scanner_tpu.models.ddc_pipeline import make_tables
     from rtl_sdr_scanner_tpu.models.scan_pipeline import (
         ScanConfig,
+        _compact_scan_block,
         init_scan_state,
-        make_compact_scan_step,
     )
     from rtl_sdr_scanner_tpu.ops.psd import dequantize_cs8
-
-    dev = jax.devices()[0]
-    print(f"device: {dev.device_kind}", file=sys.stderr)
 
     cfg = ScanConfig.create(RATE, frames_per_block=FRAMES)
     assert cfg.fft_size == 131072 and cfg.decimator_factor == 3
     group = cfg.fft_size * cfg.decimator_factor
     block = cfg.block_samples
-    ddc_cfg = DdcConfig.create(RATE, 16000, SLOTS, block)
+    ddc_cfg = DdcConfig.create(RATE, 16000, SLOTS_PER_BAND, block)
     group_size = int(np.ceil(16000 / cfg.step_hz))
 
-    scan_step = make_compact_scan_step(cfg, group_size, 64)
-    ddc_step = make_ddc_step(ddc_cfg)
+    scan_one = functools.partial(_compact_scan_block, cfg, group_size, 64)
+    scan_step = jax.jit(
+        jax.vmap(scan_one, in_axes=(0, 0, 0, None, None, None)),
+        donate_argnums=(0,),
+    )
+    ddc_step = jax.jit(
+        jax.vmap(functools.partial(_ddc_block, ddc_cfg), in_axes=(0, 0, 0)),
+        donate_argnums=(0,),
+    )
+    dequant = jax.jit(lambda a: dequantize_cs8(a).reshape(a.shape[0], -1))
 
     rng = np.random.default_rng(0)
     host_blocks = [
-        rng.integers(-32, 32, size=(FRAMES, group, 2), dtype=np.int8) for _ in range(RING)
+        rng.integers(-32, 32, size=(n_bands, FRAMES, group, 2), dtype=np.int8)
+        for _ in range(RING)
     ]
     ring = [jax.device_put(b) for b in host_blocks]
     jax.block_until_ready(ring)
 
     frame_ms = cfg.frame_interval_ms
-    scan_state = init_scan_state(cfg, 0)
-    ddc_state = ddc_init(ddc_cfg)
-    tables = make_tables(ddc_cfg, rng.integers(-RATE // 2, RATE // 2, size=SLOTS))
+    stack = lambda a: jnp.broadcast_to(a, (n_bands,) + a.shape)
+    scan_state = jax.tree.map(stack, init_scan_state(cfg, 0))
+    ddc_state = jax.tree.map(stack, ddc_init(ddc_cfg))
+    tables = jax.tree.map(
+        stack, make_tables(ddc_cfg, rng.integers(-RATE // 2, RATE // 2, size=SLOTS_PER_BAND))
+    )
     keys = jnp.asarray(np.full(16, -1, dtype=np.int32))
     valid = jnp.asarray(np.ones(cfg.fft_size, dtype=bool))
     start_level = jnp.float32(8.0)
 
-    flatten = jax.jit(lambda a: dequantize_cs8(a).reshape(-1))
-
     def run_block(b: int, scan_state, ddc_state):
-        if args.host_fed:
+        if host_fed:
             iq_int8 = jax.device_put(host_blocks[b % RING])
         else:
             iq_int8 = ring[b % RING]
         now = ((b * FRAMES + 1 + np.arange(FRAMES)) * frame_ms).astype(np.int32)
-        scan_state, outs = scan_step(
-            scan_state, iq_int8, jnp.asarray(now), keys, valid, start_level
-        )
-        ddc_state, rec = ddc_step(ddc_state, flatten(iq_int8), tables)
-        # host fetch of everything the runtime consumes (all small)
+        now_b = jnp.broadcast_to(jnp.asarray(now), (n_bands, FRAMES))
+        scan_state, outs = scan_step(scan_state, iq_int8, now_b, keys, valid, start_level)
+        ddc_state, rec = ddc_step(ddc_state, dequant(iq_int8), tables)
         c = outs.compact
         fetched = (
             np.asarray(c.cand_idx),
@@ -121,23 +123,47 @@ def main() -> int:
         scan_state, ddc_state, _ = run_block(WARMUP + blocks_done, scan_state, ddc_state)
         blocks_done += 1
         elapsed = time.perf_counter() - t0
-        if elapsed >= args.seconds and blocks_done >= 8:
+        if elapsed >= seconds and blocks_done >= 6:
             break
 
-    samples = blocks_done * block
-    rate = samples / elapsed
-    print(
-        f"{blocks_done} blocks x {block} samples in {elapsed:.2f}s "
-        f"({rate/1e6:.1f} Msamples/s, {rate/RATE:.1f}x realtime)",
-        file=sys.stderr,
-    )
+    samples = blocks_done * block * n_bands
+    return samples / elapsed
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host-fed", action="store_true")
+    parser.add_argument("--seconds", type=float, default=6.0)
+    parser.add_argument("--bands", type=int, default=0, help="fixed band count (0 = sweep)")
+    args = parser.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr)
+
+    band_counts = [args.bands] if args.bands else [1, 4, 8]
+    best = 0.0
+    best_bands = 1
+    for nb in band_counts:
+        rate = bench_bands(nb, args.seconds, args.host_fed)
+        print(
+            f"bands={nb}: {rate/1e6:.1f} Msamples/s aggregate "
+            f"({rate/RATE:.1f}x realtime)",
+            file=sys.stderr,
+        )
+        if rate > best:
+            best, best_bands = rate, nb
+
+    print(f"best: {best_bands} concurrent bands", file=sys.stderr)
     print(
         json.dumps(
             {
-                "metric": "iq_samples_per_second_scan_plus_ddc",
-                "value": round(rate, 1),
+                "metric": "iq_samples_per_second_per_chip_scan_plus_ddc",
+                "value": round(best, 1),
                 "unit": "samples/s",
-                "vs_baseline": round(rate / BASELINE_SAMPLES_PER_S, 2),
+                "vs_baseline": round(best / BASELINE_SAMPLES_PER_S, 2),
             }
         )
     )

@@ -1,0 +1,64 @@
+"""Smoke-test the bench pipeline functions on CPU with shrunken geometry so
+the driver's real-chip bench run can't bitrot silently."""
+
+import numpy as np
+import pytest
+
+import bench
+
+
+def test_bench_bands_smoke(monkeypatch, tmp_path):
+    monkeypatch.setattr(bench, "RATE", 256000)
+    monkeypatch.setattr(bench, "FRAMES", 10)
+    monkeypatch.setattr(bench, "WARMUP", 1)
+
+    # shrunken geometry: fft 1024, decim 5; assertion in bench_bands is
+    # against the full geometry -- bypass it by calling the internals
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from rtl_sdr_scanner_tpu.models.ddc_pipeline import DdcConfig, _ddc_block
+    from rtl_sdr_scanner_tpu.models.ddc_pipeline import init_state as ddc_init
+    from rtl_sdr_scanner_tpu.models.ddc_pipeline import make_tables
+    from rtl_sdr_scanner_tpu.models.scan_pipeline import (
+        ScanConfig,
+        _compact_scan_block,
+        init_scan_state,
+    )
+
+    cfg = ScanConfig.create(256000, frames_per_block=10)
+    n_bands = 2
+    group = cfg.fft_size * cfg.decimator_factor
+    ddc_cfg = DdcConfig.create(256000, 16000, 2, cfg.block_samples)
+    group_size = int(np.ceil(16000 / cfg.step_hz))
+
+    scan_step = jax.jit(
+        jax.vmap(
+            functools.partial(_compact_scan_block, cfg, group_size, 16),
+            in_axes=(0, 0, 0, None, None, None),
+        )
+    )
+    ddc_step = jax.jit(jax.vmap(functools.partial(_ddc_block, ddc_cfg), in_axes=(0, 0, 0)))
+
+    rng = np.random.default_rng(0)
+    stack = lambda a: jnp.broadcast_to(a, (n_bands,) + a.shape)
+    ss = jax.tree.map(stack, init_scan_state(cfg, 0))
+    ds = jax.tree.map(stack, ddc_init(ddc_cfg))
+    tables = jax.tree.map(stack, make_tables(ddc_cfg, np.array([30000, -20000])))
+    iq = jnp.asarray(
+        rng.integers(-32, 32, size=(n_bands, 10, group, 2), dtype=np.int8)
+    )
+    now = jnp.broadcast_to(jnp.arange(1, 11, dtype=jnp.int32) * 100, (n_bands, 10))
+    keys = jnp.asarray(np.full(16, -1, np.int32))
+    valid = jnp.asarray(np.ones(cfg.fft_size, bool))
+
+    ss, outs = scan_step(ss, iq, now, keys, valid, jnp.float32(8.0))
+    assert outs.compact.cand_idx.shape == (n_bands, 10, 16)
+
+    from rtl_sdr_scanner_tpu.ops.psd import dequantize_cs8
+
+    flat = dequantize_cs8(iq).reshape(n_bands, -1)
+    ds, rec = ddc_step(ds, flat, tables)
+    assert rec.shape[0] == n_bands and rec.shape[1] == 2  # bands, slots
