@@ -143,11 +143,15 @@ def main() -> int:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr)
 
-    band_counts = [args.bands] if args.bands else [1, 4, 8]
+    band_counts = [args.bands] if args.bands else [8, 16, 32]
     best = 0.0
     best_bands = 1
     for nb in band_counts:
-        rate = bench_bands(nb, args.seconds, args.host_fed)
+        try:
+            rate = bench_bands(nb, args.seconds, args.host_fed)
+        except Exception as exc:
+            print(f"bands={nb}: failed ({type(exc).__name__}: {exc})", file=sys.stderr)
+            continue
         print(
             f"bands={nb}: {rate/1e6:.1f} Msamples/s aggregate "
             f"({rate/RATE:.1f}x realtime)",

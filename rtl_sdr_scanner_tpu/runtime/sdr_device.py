@@ -51,6 +51,11 @@ class RecorderSlot:
         self.first_ms = 0
         self.last_ms = 0
         self.pending: List[Tuple[int, np.ndarray]] = []  # (stream_ms, int8 [n,2])
+        # fraction of the current block already elapsed when recording
+        # started; the first DDC output is trimmed to it so the recording
+        # begins at the detection frame, like the reference's blocker opening
+        # mid-stream (recorder.cpp:68)
+        self.start_fraction = 0.0
 
     @property
     def is_recording(self) -> bool:
@@ -254,6 +259,7 @@ class SdrDevice:
 
         flush_any: Dict[int, bool] = {}
         notification: List[FrequencyFlush] = []
+        first_seen_frame: Dict[int, int] = {}
         if self._compact:
             if self._valid_mask_dev is None:
                 self._valid_mask_dev = jnp.asarray(self._tracker._compute_valid_mask())
@@ -287,6 +293,7 @@ class SdrDevice:
                 )
                 for shift, flush in notification:
                     flush_any[shift] = flush_any.get(shift, False) or flush
+                    first_seen_frame.setdefault(shift, k)
         else:
             self._scan_state, outs = self._scan_step(
                 self._scan_state, framed, jnp.asarray(now_arr)
@@ -302,6 +309,7 @@ class SdrDevice:
                 notification = self._tracker.process(raw[k], avg[k], int(now_arr[k]))
                 for shift, flush in notification:
                     flush_any[shift] = flush_any.get(shift, False) or flush
+                    first_seen_frame.setdefault(shift, k)
         self._last_notification = notification
         for _ in range(cfg.frames_per_block):
             self._perf.kick()
@@ -310,7 +318,12 @@ class SdrDevice:
 
         # merge per-frame flush flags into the block-level reconcile
         merged = [(shift, flush_any.get(shift, False)) for shift, _ in notification]
-        self.update_recordings(merged, int(now_arr[-1]))
+        self.update_recordings(
+            merged, int(now_arr[-1]),
+            start_fractions={
+                s: f / cfg.frames_per_block for s, f in first_seen_frame.items()
+            },
+        )
 
         if self.is_recording:
             self._run_ddc(iq_dev if iq_dev is not None else framed, block_start_ms)
@@ -320,8 +333,14 @@ class SdrDevice:
 
     # -- recorder reconcile (sdr_device.cpp:82-144) ------------------------
 
-    def update_recordings(self, sorted_shifts: List[FrequencyFlush], now_ms: int) -> None:
+    def update_recordings(
+        self,
+        sorted_shifts: List[FrequencyFlush],
+        now_ms: int,
+        start_fractions: Optional[Dict[int, float]] = None,
+    ) -> None:
         waiting = {shift for shift, _ in sorted_shifts}
+        start_fractions = start_fractions or {}
 
         for rec in self._recorders:
             if rec.is_recording and rec.shift not in waiting:
@@ -341,7 +360,9 @@ class SdrDevice:
             else:
                 free = next((r for r in self._recorders if not r.is_recording), None)
                 if free is not None:
-                    self._start_slot(free, shift, now_ms)
+                    self._start_slot(
+                        free, shift, now_ms, start_fractions.get(shift, 0.0)
+                    )
                     logger.info(
                         LABEL,
                         "start recorder, frequency: {}",
@@ -359,12 +380,15 @@ class SdrDevice:
             s for s in self._ignored_transmissions if s in waiting
         }
 
-    def _start_slot(self, rec: RecorderSlot, shift: int, now_ms: int) -> None:
+    def _start_slot(
+        self, rec: RecorderSlot, shift: int, now_ms: int, start_fraction: float = 0.0
+    ) -> None:
         rec.shift = shift
         rec.frequency = self.center_frequency
         rec.first_ms = now_ms
         rec.last_ms = now_ms
         rec.pending = []
+        rec.start_fraction = start_fraction
         self._ddc_state = ddc_pipeline.reset_slot(self._ddc_state, rec.index)
         shifts = np.array(
             [r.shift if r.is_recording else 0 for r in self._recorders], dtype=np.int64
@@ -403,7 +427,13 @@ class SdrDevice:
             if rec.is_recording:
                 if out_np is None:
                     out_np = np.asarray(out)
-                rec.pending.append((block_start_ms, out_np[rec.index]))
+                samples = out_np[rec.index]
+                if rec.start_fraction > 0.0:
+                    # first captured block: trim to the detection frame
+                    offset = int(rec.start_fraction * samples.shape[0])
+                    samples = samples[offset:]
+                    rec.start_fraction = 0.0
+                rec.pending.append((block_start_ms, samples))
                 if self._rec_sinks is not None:
                     sink = self._rec_sinks[rec.index]
                     if not sink.recording:
