@@ -66,6 +66,9 @@ class Tunables:
     # persist learned noise floors across restarts ("" = relearn like the
     # reference, noise_learner.cpp:69-72); path gets the device name appended
     noise_state_path: str = ""
+    # use the fused Pallas PSD kernel (ops/pallas/psd_kernel.py) instead of
+    # the XLA chain; requires int8 ingest and a TPU backend
+    use_pallas_psd: bool = False
 
 
 # Module-level default instance; runtime code takes a Tunables argument and

@@ -56,6 +56,8 @@ class ScanConfig:
     grouping_y: int = 21
     noise_learning_ms: int = 2000
 
+    use_pallas_psd: bool = False
+
     @classmethod
     def create(
         cls, sample_rate: int, frames_per_block: int = 16, tunables: Tunables = DEFAULT
@@ -79,6 +81,7 @@ class ScanConfig:
             grouping_x=tunables.grouping_x,
             grouping_y=tunables.grouping_y,
             noise_learning_ms=tunables.noise_learning_time_ms,
+            use_pallas_psd=tunables.use_pallas_psd,
         )
 
     @property
@@ -120,15 +123,26 @@ def init_scan_state(cfg: ScanConfig, start_ms: int = 0) -> ScanState:
     )
 
 
+def _frames_power(cfg: ScanConfig, iq: jnp.ndarray) -> jnp.ndarray:
+    """[frames, fft*decim] c64 or [frames, fft*decim, 2] int8 -> PSD rows."""
+    if iq.dtype == jnp.int8 and cfg.use_pallas_psd:
+        from rtl_sdr_scanner_tpu.ops.pallas.psd_kernel import psd_frames_int8_pallas
+
+        return psd_frames_int8_pallas(
+            iq, float(cfg.sample_rate), cfg.fft_size, cfg.decimator_factor
+        )
+    if iq.dtype == jnp.int8:
+        iq = dequantize_cs8(iq)
+    frames = iq[:, : cfg.fft_size]  # Decimator: first fft of each group
+    return psd_frames(frames, float(cfg.sample_rate))
+
+
 def _scan_block(
     cfg: ScanConfig, state: ScanState, iq: jnp.ndarray, now_ms: jnp.ndarray
 ) -> Tuple[ScanState, ScanOutputs]:
     """iq: [frames, fft*decim] complex64 (pre-framed) or [frames, fft*decim, 2]
     int8 cs8; now_ms: [frames] i32 relative milliseconds."""
-    if iq.dtype == jnp.int8:
-        iq = dequantize_cs8(iq)
-    frames = iq[:, : cfg.fft_size]  # Decimator: first fft of each group
-    power = psd_frames(frames, float(cfg.sample_rate))
+    power = _frames_power(cfg, iq)
 
     def body(carry: ScanState, inp):
         p, t = inp
@@ -177,10 +191,7 @@ def _compact_scan_block(
     from rtl_sdr_scanner_tpu.ops.averager import ordered_history
     from rtl_sdr_scanner_tpu.ops.detect import compact_detection
 
-    if iq.dtype == jnp.int8:
-        iq = dequantize_cs8(iq)
-    frames = iq[:, : cfg.fft_size]
-    power = psd_frames(frames, float(cfg.sample_rate))
+    power = _frames_power(cfg, iq)
 
     # newest (depth - depth//2 - 1) ring rows BEFORE this block feed the vote
     half_depth = cfg.grouping_y - cfg.grouping_y // 2
