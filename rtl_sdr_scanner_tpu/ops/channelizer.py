@@ -1,0 +1,150 @@
+"""Polyphase analysis channelizer: one wideband stream -> B sub-band streams.
+
+The reference can only watch sample_rate of spectrum at a time and
+time-multiplexes wider ranges with 500 ms dwells (scanner.cpp:46-60). A TPU
+has the FLOPs to watch EVERYTHING: this critically-sampled DFT filter bank
+splits one rate-R wideband capture into B channels of rate R/B, each of which
+feeds an independent band-scan pipeline (concurrent bands on one chip /
+across a mesh) -- the north-star upgrade in SURVEY.md section 2.
+
+Math (channel b, center +b*R/B, wrapped to +-R/2):
+  y_b[m] = sum_p e^{-j2pi b p / B} * (x_p conv h_p)[m]
+  with branch signals x_p[m] = x[mB + p] and branch filters
+  h_p[j] = h[jB - p] of a prototype low-pass h (Kaiser, cutoff R/2B).
+  The DFT over p is a length-B FFT -- MXU/VPU friendly; the branch convs are
+  one grouped strided convolution.
+
+Streaming: an input-domain tail (overlap-save) carries across blocks, same
+scheme as ops/ddc.py, so block-streamed output equals offline filtering.
+
+Caveat: critically-sampled banks attenuate signals straddling channel edges;
+pick B so channel width >= a few signal bandwidths (or scan overlapping
+center offsets), just as reference hop-range edges clip signals.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rtl_sdr_scanner_tpu.ops.ddc import firdes_low_pass
+
+
+class ChannelizerPlan(NamedTuple):
+    num_channels: int
+    taps_per_branch: int
+    branch_kernels: np.ndarray  # [B, taps_per_branch] f32, conv-ready (reversed)
+    tail_len: int  # input samples carried between blocks
+
+
+@functools.lru_cache(maxsize=16)
+def plan_channelizer(num_channels: int, taps_per_branch: int = 0) -> ChannelizerPlan:
+    """Design the prototype and split it into branch filters.
+
+    Prototype: Kaiser low-pass, gain 1, cutoff at half the channel width with
+    a transition of 20% of the channel (same firdes as the DDC chain).
+    """
+    b = num_channels
+    proto = firdes_low_pass(
+        gain=1.0,
+        sampling_freq=float(b),
+        cutoff=0.5,
+        transition_width=0.2,
+    )
+    # branch filters h_p[j] = h[j*B - p]; front-pad so j starts at 0
+    g = np.concatenate([np.zeros(b - 1), proto])
+    n_taps = -(-(len(proto) + b - 1) // b)
+    kernels = np.zeros((b, n_taps), dtype=np.float64)
+    for p in range(b):
+        for j in range(n_taps):
+            idx = j * b - p + (b - 1)
+            if 0 <= idx < len(g):
+                kernels[p, j] = g[idx]
+    # conv implementation is cross-correlation with reversed kernels
+    kernels = kernels[:, ::-1].copy()
+    tail_rows = n_taps - 1
+    return ChannelizerPlan(
+        num_channels=b,
+        taps_per_branch=n_taps,
+        branch_kernels=kernels.astype(np.float32),
+        tail_len=tail_rows * b,
+    )
+
+
+class ChannelizerState(NamedTuple):
+    tail: jnp.ndarray  # [tail_len] complex64 -- last input samples of prev block
+
+
+def init_channelizer_state(plan: ChannelizerPlan) -> ChannelizerState:
+    return ChannelizerState(tail=jnp.zeros((plan.tail_len,), dtype=jnp.complex64))
+
+
+def channelize_block(
+    plan: ChannelizerPlan, state: ChannelizerState, x: jnp.ndarray
+) -> Tuple[ChannelizerState, jnp.ndarray]:
+    """x: [n] complex64, n % B == 0 -> channels [B, n // B] complex64.
+
+    Channel b is the sub-band centered at +b*R/B relative to the wideband
+    center (b >= B/2 wraps negative).
+    """
+    b = plan.num_channels
+    n = x.shape[0]
+    assert n % b == 0, (n, b)
+    ext = jnp.concatenate([state.tail, x])
+    rows = ext.reshape(-1, b)  # rows[m, p] = ext[m*B + p]
+    branches = rows.T  # [B, M] branch signals x_p
+    kernels = jnp.asarray(plan.branch_kernels)
+
+    def conv_part(sig_part):
+        # grouped conv: each branch filtered by its own kernel, VALID
+        lhs = sig_part[None]  # [1, B, M]
+        rhs = kernels[:, None, :]  # [B out, 1 in/group, T]
+        return jax.lax.conv_general_dilated(
+            lhs,
+            rhs,
+            window_strides=(1,),
+            padding="VALID",
+            dimension_numbers=("NCW", "OIW", "NCW"),
+            feature_group_count=b,
+        )[0]
+
+    v = conv_part(jnp.real(branches)) + 1j * conv_part(jnp.imag(branches))
+    # v: [B, n//B]; DFT over the branch axis gives the channels
+    channels = jnp.fft.fft(v, axis=0).astype(jnp.complex64)
+    new_tail = ext[-plan.tail_len :]
+    return ChannelizerState(tail=new_tail), channels
+
+
+def channel_center_offsets(plan: ChannelizerPlan, sample_rate: int) -> np.ndarray:
+    """Per-channel frequency offset from the wideband center (Hz), wrapped."""
+    b = plan.num_channels
+    k = np.arange(b)
+    k = np.where(k <= b // 2, k, k - b)
+    return (k * sample_rate // b).astype(np.int64)
+
+
+def offline_channelize(plan: ChannelizerPlan, x: np.ndarray) -> np.ndarray:
+    """Numpy reference model: per-channel downconvert -> filter -> decimate."""
+    b = plan.num_channels
+    proto = plan.branch_kernels[:, ::-1]  # un-reverse
+    # rebuild the prototype from branches for the reference path
+    n_taps = plan.taps_per_branch
+    g = np.zeros(n_taps * b)
+    for p in range(b):
+        for j in range(n_taps):
+            idx = j * b - p + (b - 1)
+            if 0 <= idx < len(g):
+                g[idx] = proto[p, j]
+    h = g[b - 1 :]
+    n = len(x)
+    out = np.zeros((b, n // b), dtype=np.complex128)
+    ns = np.arange(n)
+    for ch in range(b):
+        mixed = x * np.exp(-2j * np.pi * ch * ns / b)
+        filtered = np.convolve(mixed, h)[:n]
+        out[ch] = filtered[0::b][: n // b]  # y_b[m] = (mixed conv h)[m*B]
+    return out
