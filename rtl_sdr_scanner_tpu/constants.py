@@ -69,6 +69,10 @@ class Tunables:
     # use the fused Pallas PSD kernel (ops/pallas/psd_kernel.py) instead of
     # the XLA chain; requires int8 ingest and a TPU backend
     use_pallas_psd: bool = False
+    # keep one block in flight on the device while the host consumes the
+    # previous one (overlaps upload+compute with tracker work; hop decisions
+    # shift by <= 1 block). Off by default for deterministic replay parity.
+    pipelined_ingest: bool = False
 
 
 # Module-level default instance; runtime code takes a Tunables argument and

@@ -66,6 +66,10 @@ class Scanner:
         self._pending_skip = False
         self._running = False
         self._thread: Optional[threading.Thread] = None
+        # pipelined ingest: one block in flight on the device while the host
+        # consumes the previous one (tunable; changes hop timing by <= 1 block)
+        self._pipelined = self._tunables.pipelined_ingest
+        self._inflight: Optional[tuple] = None  # (handle, end_ms)
 
         logger.info(LABEL, "scan ranges: {}", len(device_spec.ranges))
         for rng in device_spec.ranges:
@@ -104,14 +108,37 @@ class Scanner:
 
         block = self._read_block()
         if block is None:
+            if self._inflight is not None:  # drain the pipeline
+                handle, end_ms = self._inflight
+                self._inflight = None
+                self.device.finish_block(handle)
+                self._maybe_hop(end_ms)
             return False
         if self._pending_skip:
             self._pending_skip = False
             return True
 
         now_ms = self._source.stream_time_ms()
-        self.device.process_block(block, block_start_ms=now_ms - self._block_ms())
+        start_ms = now_ms - self._block_ms()
+        if not self._pipelined:
+            self.device.process_block(block, block_start_ms=start_ms)
+            self._maybe_hop(now_ms)
+            return True
 
+        handle = self.device.submit_block(block, start_ms)
+        if self._inflight is not None:
+            prev_handle, prev_end = self._inflight
+            self.device.finish_block(prev_handle)
+            hopped = self._maybe_hop(prev_end)
+            if hopped:
+                # the just-submitted block belongs to the old range; the
+                # reference likewise drops stale data on retune
+                self._inflight = None
+                return True
+        self._inflight = (handle, now_ms)
+        return True
+
+    def _maybe_hop(self, now_ms: int) -> bool:
         if len(self._ranges) > 1:
             dwell_over = (
                 now_ms - self._dwell_start_ms >= self._tunables.range_scanning_time_ms
@@ -119,7 +146,8 @@ class Scanner:
             # hold while a transmission is active (scanner.cpp:52-56)
             if dwell_over and not self.device.last_notification:
                 self._hop(now_ms)
-        return True
+                return True
+        return False
 
     def _block_ms(self) -> int:
         cfg = self.device.scan_cfg

@@ -241,6 +241,17 @@ class SdrDevice:
         iq: [block_samples] complex64 (or int8 [block_samples, 2] cs8).
         Returns the last detection notification of the block.
         """
+        return self.finish_block(self.submit_block(iq, block_start_ms))
+
+    def submit_block(self, iq: np.ndarray, block_start_ms: int) -> dict:
+        """Dispatch the device work for one block without waiting.
+
+        Pipelined ingest: the host can submit block b+1 while still consuming
+        block b's outputs (SURVEY.md hard part: host<->device pipelining).
+        In compact mode the tracked-key slots are sampled at submit time, so
+        signals added while a later block is already in flight fall back to
+        the candidate-based update path for one extra block.
+        """
         cfg = self.scan_cfg
         assert self._scan_state is not None, "set_frequency_range first"
         group = cfg.fft_size * cfg.decimator_factor
@@ -257,9 +268,7 @@ class SdrDevice:
             block_start_ms + ((1 + np.arange(cfg.frames_per_block)) * frame_ms)
         ).astype(np.int32)
 
-        flush_any: Dict[int, bool] = {}
-        notification: List[FrequencyFlush] = []
-        first_seen_frame: Dict[int, int] = {}
+        slot_keys = None
         if self._compact:
             if self._valid_mask_dev is None:
                 self._valid_mask_dev = jnp.asarray(self._tracker._compute_valid_mask())
@@ -272,7 +281,32 @@ class SdrDevice:
                 self._valid_mask_dev,
                 jnp.float32(self._device.start_level),
             )
-            self._noise_states[self._pending_noise_center] = self._scan_state.noise
+        else:
+            self._scan_state, outs = self._scan_step(
+                self._scan_state, framed, jnp.asarray(now_arr)
+            )
+        self._noise_states[self._pending_noise_center] = self._scan_state.noise
+        return {
+            "outs": outs,
+            "iq_dev": iq_dev if iq_dev is not None else framed,
+            "iq_is_int8": iq.dtype == np.int8,
+            "now_arr": now_arr,
+            "slot_keys": slot_keys,
+            "block_start_ms": block_start_ms,
+        }
+
+    def finish_block(self, handle: dict) -> List[FrequencyFlush]:
+        """Consume a submitted block: tracker, reconcile, DDC, spectrogram."""
+        cfg = self.scan_cfg
+        outs = handle["outs"]
+        now_arr = handle["now_arr"]
+        block_start_ms = handle["block_start_ms"]
+
+        flush_any: Dict[int, bool] = {}
+        notification: List[FrequencyFlush] = []
+        first_seen_frame: Dict[int, int] = {}
+        if self._compact:
+            slot_keys = handle["slot_keys"]
             c = outs.compact
             cand_idx = np.asarray(c.cand_idx)
             cand_val = np.asarray(c.cand_val)
@@ -295,10 +329,6 @@ class SdrDevice:
                     flush_any[shift] = flush_any.get(shift, False) or flush
                     first_seen_frame.setdefault(shift, k)
         else:
-            self._scan_state, outs = self._scan_step(
-                self._scan_state, framed, jnp.asarray(now_arr)
-            )
-            self._noise_states[self._pending_noise_center] = self._scan_state.noise
             raw = np.asarray(outs.raw)
             avg = np.asarray(outs.avg)
             if self._power_sink is not None and self._power_sink.recording:
@@ -313,8 +343,12 @@ class SdrDevice:
         self._last_notification = notification
         for _ in range(cfg.frames_per_block):
             self._perf.kick()
-        if self._raw_iq_sink is not None and self._raw_iq_sink.recording and iq.dtype != np.int8:
-            self._raw_iq_sink.write(iq.astype(np.complex64))
+        if (
+            self._raw_iq_sink is not None
+            and self._raw_iq_sink.recording
+            and not handle["iq_is_int8"]
+        ):
+            self._raw_iq_sink.write(np.asarray(handle["iq_dev"]).astype(np.complex64))
 
         # merge per-frame flush flags into the block-level reconcile
         merged = [(shift, flush_any.get(shift, False)) for shift, _ in notification]
@@ -326,7 +360,7 @@ class SdrDevice:
         )
 
         if self.is_recording:
-            self._run_ddc(iq_dev if iq_dev is not None else framed, block_start_ms)
+            self._run_ddc(handle["iq_dev"], block_start_ms)
 
         self._accumulate_spectrogram(np.asarray(outs.spectro_sum), int(now_arr[-1]))
         return notification
