@@ -16,6 +16,14 @@ sdr_device.cpp:161-165) with ONE kernel per frame that:
 
 HBM traffic per frame: fft*2 bytes in + fft*4 bytes out (plus the DFT tables,
 resident in VMEM across grid steps). All FLOPs land on the MXU.
+
+Measured (TPU v5e, fft=131072, 20 frames/block, 2026-08-17):
+  this kernel 13.2 ms/block vs XLA chain (jnp.fft + fused elementwise)
+  2.75 ms/block -- XLA's native FFT does ~30x fewer FLOPs than the four-step
+  matmul form and wins despite the extra HBM round trips, so the XLA chain
+  stays the default (use_pallas_psd=False). Numerics: mean |diff| 0.026 dB;
+  outliers up to ~28 dB only at deep FFT nulls where f32 cancellation noise
+  meets log10 (harmless for max-hold/threshold detection).
 """
 
 from __future__ import annotations

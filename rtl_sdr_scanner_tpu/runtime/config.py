@@ -42,6 +42,9 @@ class DeviceSpec:
     # TPU-framework addition: replayed-IQ file backend (SURVEY.md section 4)
     file: Optional[str] = None
     file_format: str = "cf32"  # cf32 | cs8 | cu8
+    # TPU-framework addition: split this device's band into N sub-bands via
+    # the polyphase channelizer and scan them CONCURRENTLY (runtime/wideband.py)
+    channels: int = 0
 
     @property
     def name(self) -> str:
@@ -61,6 +64,7 @@ def _read_device(raw: Dict[str, Any]) -> DeviceSpec:
         ranges=[(int(r["start"]), int(r["stop"])) for r in raw.get("ranges", [])],
         file=raw.get("file"),
         file_format=raw.get("file_format", "cf32"),
+        channels=int(raw.get("channels", 0)),
     )
 
 

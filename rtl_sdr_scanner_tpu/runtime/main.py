@@ -70,6 +70,14 @@ def run(config_file: str) -> int:
                     logger.info(LABEL, "device disabled, skipping: {}", device.name)
                 elif not device.ranges:
                     logger.info(LABEL, "empty ranges to scan, skipping: {}", device.name)
+                elif device.channels >= 2:
+                    from rtl_sdr_scanner_tpu.runtime.wideband import WidebandScanner
+
+                    scanner = WidebandScanner(
+                        config, device, mqtt, config.recorders_count()
+                    )
+                    scanner.start()
+                    scanners.append(scanner)
                 else:
                     scanner = Scanner(config, device, mqtt, config.recorders_count())
                     scanner.start()

@@ -1,0 +1,149 @@
+"""Wideband concurrent-band scanner.
+
+The reference time-multiplexes spectrum wider than one sample-rate with
+500 ms dwells (scanner.cpp:46-60) and therefore MISSES transmissions on the
+ranges it is not currently watching. This mode watches everything at once:
+one wideband front-end (or capture) is split by the polyphase channelizer
+(ops/channelizer.py) into B sub-bands, each driven through its own full
+detection/recording session concurrently -- the SURVEY.md north star
+("one pod scans many bands concurrently instead of time-multiplexing").
+
+Enable with `"channels": B` on a device config entry. Each sub-band behaves
+exactly like a parked single-range scanner: its own noise floor, tracker,
+recorder slots, spectrogram container, and egress (payload start/stop mark
+the sub-band). All sessions share the same jitted pipelines (same geometry),
+so compilation cost is paid once.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from rtl_sdr_scanner_tpu.ops.channelizer import (
+    channel_center_offsets,
+    channelize_block,
+    init_channelizer_state,
+    plan_channelizer,
+)
+from rtl_sdr_scanner_tpu.runtime.config import Config, DeviceSpec
+from rtl_sdr_scanner_tpu.runtime.sdr_device import SdrDevice
+from rtl_sdr_scanner_tpu.runtime.sources import make_source
+from rtl_sdr_scanner_tpu.utils import logger
+from rtl_sdr_scanner_tpu.utils.radio_utils import format_frequency
+
+LABEL = "wideband"
+
+
+class WidebandScanner:
+    def __init__(
+        self,
+        config: Config,
+        device_spec: DeviceSpec,
+        mqtt,
+        recorders_count: int,
+        loop_replay: bool = False,
+    ):
+        if device_spec.channels < 2:
+            raise ValueError("wideband mode needs channels >= 2")
+        if not device_spec.ranges:
+            raise ValueError("wideband mode needs a frequency range")
+        b = device_spec.channels
+        rate = device_spec.sample_rate
+        if rate % b != 0:
+            raise ValueError(f"sample_rate {rate} not divisible by channels {b}")
+
+        self._config = config
+        self._source = make_source(device_spec, loop=loop_replay)
+        self._plan = plan_channelizer(b)
+        self._chan_state = init_channelizer_state(self._plan)
+        sub_rate = rate // b
+        center = (device_spec.ranges[0][0] + device_spec.ranges[0][1]) // 2
+        self._center = center
+        offsets = channel_center_offsets(self._plan, rate)
+
+        per_band_recorders = max(1, recorders_count // b)
+        self._sessions: List[SdrDevice] = []
+        self._offsets = offsets
+        for ch in range(b):
+            sub_center = center + int(offsets[ch])
+            sub_spec = dataclasses.replace(
+                device_spec,
+                sample_rate=sub_rate,
+                ranges=[(sub_center - sub_rate // 2, sub_center + sub_rate // 2)],
+                channels=0,
+            )
+            session = SdrDevice(config, sub_spec, mqtt, per_band_recorders)
+            session.set_frequency_range(sub_spec.ranges[0], now_ms=0)
+            self._sessions.append(session)
+            logger.info(
+                LABEL,
+                "channel {}: {} - {} ({} sps)",
+                ch,
+                format_frequency(sub_spec.ranges[0][0]),
+                format_frequency(sub_spec.ranges[0][1]),
+                sub_rate,
+            )
+
+        # all sessions share geometry; wideband block = B * sub-band block
+        self._sub_block = self._sessions[0].scan_cfg.block_samples
+        self._wide_block = self._sub_block * b
+        self._running = False
+        self._thread: Optional[threading.Thread] = None
+        logger.info(
+            LABEL,
+            "watching {} concurrently as {} channels (block {} samples)",
+            format_frequency(device_spec.ranges[0][1] - device_spec.ranges[0][0]),
+            b,
+            self._wide_block,
+        )
+
+    @property
+    def sessions(self) -> List[SdrDevice]:
+        return self._sessions
+
+    def step(self) -> bool:
+        block = self._source.read_block(self._wide_block)
+        if block is None:
+            return False
+        now_ms = self._source.stream_time_ms()
+        start_ms = int(now_ms - self._wide_block * 1000 / self._source.sample_rate)
+        self._chan_state, channels = channelize_block(
+            self._plan, self._chan_state, jnp.asarray(block)
+        )
+        # per-band sessions consume their channel stream; submit all bands
+        # first so the device pipelines overlap, then finish
+        handles = []
+        for ch, session in enumerate(self._sessions):
+            sub = np.asarray(channels[ch])
+            handles.append(session.submit_block(sub, start_ms))
+        for session, handle in zip(self._sessions, handles):
+            session.finish_block(handle)
+        return True
+
+    def run_to_completion(self) -> None:
+        while self.step():
+            pass
+
+    def start(self) -> None:
+        self._running = True
+
+        def worker():
+            logger.info(LABEL, "thread started")
+            while self._running:
+                if not self.step():
+                    break
+            logger.info(LABEL, "thread stopped")
+
+        self._thread = threading.Thread(target=worker, name="wideband", daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self._running = False
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
