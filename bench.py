@@ -101,17 +101,8 @@ def bench_bands(n_bands: int, seconds: float, host_fed: bool):
         now_b = jnp.broadcast_to(jnp.asarray(now), (n_bands, FRAMES))
         scan_state, outs = scan_step(scan_state, iq_int8, now_b, keys, valid, start_level)
         ddc_state, rec = ddc_step(ddc_state, dequant(iq_int8), tables)
-        c = outs.compact
-        fetched = (
-            np.asarray(c.cand_idx),
-            np.asarray(c.cand_val),
-            np.asarray(c.cand_best),
-            np.asarray(c.cand_count),
-            np.asarray(c.key_val),
-            np.asarray(c.key_idx),
-            np.asarray(outs.spectro_sum),
-            np.asarray(rec),
-        )
+        # host consumes one packed array per band-batch + the recordings
+        fetched = (np.asarray(outs.packed), np.asarray(rec))
         return scan_state, ddc_state, fetched
 
     for b in range(WARMUP):

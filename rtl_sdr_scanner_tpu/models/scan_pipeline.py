@@ -175,6 +175,29 @@ class CompactScanOutputs(NamedTuple):
     compact: "CompactOutputs"  # noqa: F821
     spectro_sum: jnp.ndarray  # [spectro_size]
     noise_ready: jnp.ndarray  # scalar bool AFTER this block
+    # everything above packed into ONE f32 vector so the host needs a single
+    # device->host transfer per block (tunnel/PCIe round trips dominate at
+    # high block rates). Layout: [frames * (3K + 1 + 2S)] frame rows
+    # (cand_idx, cand_val, cand_best, cand_count, key_val, key_idx), then
+    # spectro_sum, then noise_ready. All index values are < 2^24, exact in f32.
+    packed: jnp.ndarray
+
+
+def unpack_compact(
+    packed: "np.ndarray", frames: int, top_k: int, key_slots: int, spectro_size: int
+):
+    """Host-side decode of CompactScanOutputs.packed (single fetch)."""
+    row = 3 * top_k + 1 + 2 * key_slots
+    body = packed[: frames * row].reshape(frames, row)
+    cand_idx = body[:, :top_k].astype(np.int32)
+    cand_val = body[:, top_k : 2 * top_k]
+    cand_best = body[:, 2 * top_k : 3 * top_k].astype(np.int32)
+    cand_count = body[:, 3 * top_k].astype(np.int32)
+    key_val = body[:, 3 * top_k + 1 : 3 * top_k + 1 + key_slots]
+    key_idx = body[:, 3 * top_k + 1 + key_slots :].astype(np.int32)
+    spectro = packed[frames * row : frames * row + spectro_size]
+    noise_ready = bool(packed[frames * row + spectro_size] > 0.5)
+    return cand_idx, cand_val, cand_best, cand_count, key_val, key_idx, spectro, noise_ready
 
 
 def _compact_scan_block(
@@ -217,8 +240,24 @@ def _compact_scan_block(
         top_k,
     )
     spectro = accumulate_frames(power, cfg.spectro_size)
+    f32 = lambda a: a.astype(jnp.float32)
+    body = jnp.concatenate(
+        [
+            f32(compact.cand_idx),
+            compact.cand_val,
+            f32(compact.cand_best),
+            f32(compact.cand_count)[:, None],
+            compact.key_val,
+            f32(compact.key_idx),
+        ],
+        axis=1,
+    ).reshape(-1)
+    packed = jnp.concatenate([body, spectro, f32(state.noise.ready)[None]])
     return state, CompactScanOutputs(
-        compact=compact, spectro_sum=spectro, noise_ready=state.noise.ready
+        compact=compact,
+        spectro_sum=spectro,
+        noise_ready=state.noise.ready,
+        packed=packed,
     )
 
 

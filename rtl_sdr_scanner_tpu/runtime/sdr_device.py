@@ -307,13 +307,25 @@ class SdrDevice:
         first_seen_frame: Dict[int, int] = {}
         if self._compact:
             slot_keys = handle["slot_keys"]
-            c = outs.compact
-            cand_idx = np.asarray(c.cand_idx)
-            cand_val = np.asarray(c.cand_val)
-            cand_best = np.asarray(c.cand_best)
-            cand_count = np.asarray(c.cand_count)
-            key_val = np.asarray(c.key_val)
-            key_idx = np.asarray(c.key_idx)
+            # single device->host transfer for the whole block's detector data
+            from rtl_sdr_scanner_tpu.models.scan_pipeline import unpack_compact
+
+            (
+                cand_idx,
+                cand_val,
+                cand_best,
+                cand_count,
+                key_val,
+                key_idx,
+                spectro_np,
+                _noise_ready,
+            ) = unpack_compact(
+                np.asarray(outs.packed),
+                cfg.frames_per_block,
+                self._tunables.detection_top_k,
+                self._tunables.detection_key_slots,
+                cfg.spectro_size,
+            )
             for k in range(cfg.frames_per_block):
                 notification = self._tracker.process_compact(
                     cand_idx[k],
@@ -329,6 +341,7 @@ class SdrDevice:
                     flush_any[shift] = flush_any.get(shift, False) or flush
                     first_seen_frame.setdefault(shift, k)
         else:
+            spectro_np = None
             raw = np.asarray(outs.raw)
             avg = np.asarray(outs.avg)
             if self._power_sink is not None and self._power_sink.recording:
@@ -362,7 +375,9 @@ class SdrDevice:
         if self.is_recording:
             self._run_ddc(handle["iq_dev"], block_start_ms)
 
-        self._accumulate_spectrogram(np.asarray(outs.spectro_sum), int(now_arr[-1]))
+        if spectro_np is None:
+            spectro_np = np.asarray(outs.spectro_sum)
+        self._accumulate_spectrogram(spectro_np, int(now_arr[-1]))
         return notification
 
     # -- recorder reconcile (sdr_device.cpp:82-144) ------------------------
