@@ -73,6 +73,9 @@ class Tunables:
     # previous one (overlaps upload+compute with tracker work; hop decisions
     # shift by <= 1 block). Off by default for deterministic replay parity.
     pipelined_ingest: bool = False
+    # write a JAX profiler trace of the device pipeline to this directory
+    # ("" = off). View with tensorboard / xprof. SURVEY.md section 5 tracing.
+    profile_dir: str = ""
 
 
 # Module-level default instance; runtime code takes a Tunables argument and

@@ -165,6 +165,15 @@ class Scanner:
 
     def run_to_completion(self) -> None:
         """Drain a replay source synchronously."""
+        profile_dir = self._tunables.profile_dir
+        if profile_dir:
+            import jax
+
+            with jax.profiler.trace(profile_dir):
+                while self.step():
+                    pass
+            logger.info(LABEL, "profiler trace written to {}", profile_dir)
+            return
         while self.step():
             pass
 
