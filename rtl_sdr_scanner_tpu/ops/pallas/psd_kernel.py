@@ -29,7 +29,6 @@ Measured (TPU v5e, fft=131072, 20 frames/block, 2026-08-17):
 from __future__ import annotations
 
 import functools
-import math
 from typing import Tuple
 
 import jax

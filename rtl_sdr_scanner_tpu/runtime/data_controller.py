@@ -17,12 +17,10 @@ uint8. The XOR runs through the native C++ codec when built
 from __future__ import annotations
 
 import struct
-from typing import Optional
 
 import numpy as np
 
 from rtl_sdr_scanner_tpu.native import xor_offset_binary
-from rtl_sdr_scanner_tpu.utils import logger
 
 LABEL = "data"
 

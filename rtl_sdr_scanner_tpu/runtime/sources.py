@@ -16,10 +16,8 @@ deterministic for replay, wall-clock-anchored for hardware.
 
 from __future__ import annotations
 
-import os
-import threading
 import time
-from typing import Iterator, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
@@ -29,9 +27,6 @@ from rtl_sdr_scanner_tpu.utils import logger
 
 LABEL = "source"
 
-
-class IqBlock(Tuple):
-    pass
 
 
 class ReplaySource:
