@@ -53,7 +53,6 @@ def bench_bands(n_bands: int, seconds: float, host_fed: bool):
         _compact_scan_block,
         init_scan_state,
     )
-    from rtl_sdr_scanner_tpu.ops.psd import dequantize_cs8
 
     cfg = ScanConfig.create(RATE, frames_per_block=FRAMES)
     assert cfg.fft_size == 131072 and cfg.decimator_factor == 3
@@ -71,7 +70,6 @@ def bench_bands(n_bands: int, seconds: float, host_fed: bool):
         jax.vmap(functools.partial(_ddc_block, ddc_cfg), in_axes=(0, 0, 0)),
         donate_argnums=(0,),
     )
-    dequant = jax.jit(lambda a: dequantize_cs8(a).reshape(a.shape[0], -1))
 
     rng = np.random.default_rng(0)
     host_blocks = [
@@ -100,7 +98,10 @@ def bench_bands(n_bands: int, seconds: float, host_fed: bool):
         now = ((b * FRAMES + 1 + np.arange(FRAMES)) * frame_ms).astype(np.int32)
         now_b = jnp.broadcast_to(jnp.asarray(now), (n_bands, FRAMES))
         scan_state, outs = scan_step(scan_state, iq_int8, now_b, keys, valid, start_level)
-        ddc_state, rec = ddc_step(ddc_state, dequant(iq_int8), tables)
+        # int8 feeds the DDC directly; dequant fuses with the rotation
+        ddc_state, rec = ddc_step(
+            ddc_state, iq_int8.reshape(n_bands, -1, 2), tables
+        )
         # host consumes one packed array per band-batch + the recordings
         fetched = (np.asarray(outs.packed), np.asarray(rec))
         return scan_state, ddc_state, fetched

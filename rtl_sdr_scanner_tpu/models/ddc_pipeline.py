@@ -87,8 +87,12 @@ def make_tables(cfg: DdcConfig, shifts: np.ndarray) -> NcoTables:
 def _ddc_block(
     cfg: DdcConfig, state: DdcState, iq: jnp.ndarray, tables: NcoTables
 ) -> Tuple[DdcState, jnp.ndarray]:
-    """iq: [block_samples] complex64 -> int8 out [num_slots, out_per_block, 2]."""
-    chunks = iq.reshape(cfg.num_chunks, cfg.chunk)
+    """iq: [block_samples] complex64 or [block_samples, 2] int8 cs8
+    -> int8 out [num_slots, out_per_block, 2]."""
+    if iq.dtype == jnp.int8:
+        chunks = iq.reshape(cfg.num_chunks, cfg.chunk, 2)
+    else:
+        chunks = iq.reshape(cfg.num_chunks, cfg.chunk)
 
     def body(carry, chunk_iq):
         new_state, out = ddc_ops.ddc_chunk(chunk_iq, carry, tables, cfg.plans)

@@ -83,6 +83,11 @@ class StagePlan(NamedTuple):
     ntaps: int
     tail_len: int  # input-domain overlap-save tail: ceil((ntaps-1)/interp)
     kernel: np.ndarray  # reversed taps left-padded to tail_len*interp + 1 (f32)
+    # decimation-only (interp==1) MXU form: the polyphase branches become M
+    # input channels so the conv contracts over M*poly_taps (a C=1 W-only
+    # conv contracts over 1 element at a time and crawls on the MXU)
+    poly_kernel: np.ndarray  # [1, M, R] f32, kernel[0, r, q] = h_rev[q*M + r]
+    poly_rows: int  # R
 
 
 def plan_stage(interp: int, decim: int) -> StagePlan:
@@ -91,7 +96,16 @@ def plan_stage(interp: int, decim: int) -> StagePlan:
     tail_len = -(-(ntaps - 1) // interp)  # ceil
     pad = tail_len * interp - (ntaps - 1)
     kernel = np.concatenate([np.zeros(pad), taps[::-1]]).astype(np.float32)
-    return StagePlan(interp, decim, ntaps, tail_len, kernel)
+
+    m = decim
+    r_rows = -(-(ntaps - 1) // m) + 1
+    h_rev = np.zeros(r_rows * m)
+    h_rev[:ntaps] = taps[::-1]
+    poly = np.zeros((1, m, r_rows), dtype=np.float32)
+    for q in range(r_rows):
+        for rr in range(m):
+            poly[0, rr, q] = h_rev[q * m + rr]
+    return StagePlan(interp, decim, ntaps, tail_len, kernel, poly, r_rows)
 
 
 def plan_chain(sample_rate: int, bandwidth: int, threshold: int = 125) -> List[StagePlan]:
@@ -207,11 +221,34 @@ def _stage_apply(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One resampler stage on [K, 2, n] f32 -> [K, 2, n*L//M]; carries tail.
 
-    Causal zero-stuffed FIR: y[m] = sum_j h[j] * up(x)[m*M - j]; implemented as
-    cross-correlation with the reversed kernel via one dilated/strided conv.
+    Causal zero-stuffed FIR: y[m] = sum_j h[j] * up(x)[m*M - j]. Decimation
+    stages (L==1, the common case) run in polyphase-as-channels form: input
+    rows of M samples become M channels, so the conv contracts over
+    M * poly_rows elements and lands on the MXU. Interpolating stages use the
+    dilated/strided conv form.
     """
     k, two, n = x.shape
-    lhs = jnp.concatenate([tail, x], axis=-1).reshape(k * two, 1, n + plan.tail_len)
+    full = jnp.concatenate([tail, x], axis=-1)
+    new_tail = full[..., -plan.tail_len :]
+    out_len = n * plan.interp // plan.decim
+
+    if plan.interp == 1:
+        m, r_rows = plan.decim, plan.poly_rows
+        need = (out_len + r_rows - 1) * m
+        lhs = full.reshape(k * two, -1)
+        lhs = jnp.pad(lhs, ((0, 0), (0, need - lhs.shape[-1])))
+        rows = lhs.reshape(k * two, -1, m)  # [K2, rows, M]
+        lhs_c = jnp.moveaxis(rows, 1, 2)  # [K2, M, rows]
+        out = jax.lax.conv_general_dilated(
+            lhs_c,
+            jnp.asarray(plan.poly_kernel),
+            window_strides=(1,),
+            padding="VALID",
+            dimension_numbers=("NCW", "OIW", "NCW"),
+        )
+        return out[:, 0, :out_len].reshape(k, two, out_len), new_tail
+
+    lhs = full.reshape(k * two, 1, n + plan.tail_len)
     rhs = jnp.asarray(plan.kernel).reshape(1, 1, -1)
     out = jax.lax.conv_general_dilated(
         lhs,
@@ -221,8 +258,6 @@ def _stage_apply(
         lhs_dilation=(plan.interp,),
         dimension_numbers=("NCW", "OIW", "NCW"),
     )
-    out_len = n * plan.interp // plan.decim
-    new_tail = jnp.concatenate([tail, x], axis=-1)[..., -plan.tail_len :]
     return out.reshape(k, two, out_len), new_tail
 
 
@@ -234,8 +269,10 @@ def ddc_chunk(
 ) -> Tuple[DdcState, jnp.ndarray]:
     """Process one chunk of IQ through K rotator+resampler slots.
 
-    iq: [chunk] complex64 (shared full-rate source, as in the reference where
-        all recorder chains tap the same SdrSource).
+    iq: [chunk] complex64 or [chunk, 2] int8 cs8 (dequantized here, fused
+        with the rotation -- no full-rate complex64 HBM round trip); the
+        shared full-rate source feeds all slots, as in the reference where
+        every recorder chain taps the same SdrSource.
     returns int8 interleaved output [K, out_len, 2].
     """
     chunk = iq.shape[0]
@@ -247,8 +284,12 @@ def ddc_chunk(
     angle = angle.reshape(k, chunk)
     rot_re = jnp.cos(angle)
     rot_im = jnp.sin(angle)
-    x_re = jnp.real(iq)[None, :]
-    x_im = jnp.imag(iq)[None, :]
+    if iq.dtype == jnp.int8:
+        x_re = (iq[:, 0].astype(jnp.float32) * (1.0 / 127.5))[None, :]
+        x_im = (iq[:, 1].astype(jnp.float32) * (1.0 / 127.5))[None, :]
+    else:
+        x_re = jnp.real(iq)[None, :]
+        x_im = jnp.imag(iq)[None, :]
     # (x_re + i x_im) * (cos + i sin)
     y = jnp.stack(
         [x_re * rot_re - x_im * rot_im, x_re * rot_im + x_im * rot_re], axis=1

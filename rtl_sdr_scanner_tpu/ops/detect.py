@@ -31,6 +31,32 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _two_stage_top_k(rows: jnp.ndarray, k: int):
+    """Exact top-k over the last axis via segment-wise reduction.
+
+    A single lax.top_k over a 131072-wide row lowers to a full sort on TPU
+    (~0.8 ms/row -- it dominated the scan step). Splitting into ~1024-wide
+    segments, taking top-k per segment (global top-k is a subset of the
+    per-segment top-k union), then top-k over the survivors is ~20x cheaper
+    and yields IDENTICAL values/indices incl. first-index tie order (segment
+    concatenation preserves index order).
+    """
+    *lead, n = rows.shape
+    seg_width = 1024
+    if n <= seg_width or n % seg_width != 0 or k > seg_width:
+        vals, idxs = jax.lax.top_k(rows, k)
+        return vals, idxs
+    s = n // seg_width
+    seg = rows.reshape(*lead, s, seg_width)
+    v1, i1 = jax.lax.top_k(seg, k)  # [..., s, k]
+    offs = (jnp.arange(s, dtype=jnp.int32) * seg_width)[:, None]
+    flat_v = v1.reshape(*lead, s * k)
+    flat_i = (i1 + offs).reshape(*lead, s * k)
+    vals, j = jax.lax.top_k(flat_v, k)
+    idxs = jnp.take_along_axis(flat_i, j, axis=-1)
+    return vals, idxs
+
+
 class CompactOutputs(NamedTuple):
     cand_idx: jnp.ndarray  # [F, K] i32 candidate bins, value-sorted desc
     cand_val: jnp.ndarray  # [F, K] f32 smoothed power at candidate
@@ -103,7 +129,7 @@ def compact_detection(
     neg = jnp.float32(-3.0e38)
 
     masked = jnp.where(valid_mask[None, :], avg, neg)
-    cand_val, cand_idx = jax.lax.top_k(masked, top_k)  # sorted desc, first-index ties
+    cand_val, cand_idx = _two_stage_top_k(masked, top_k)
     cand_count = jnp.sum(masked >= start_level, axis=-1).astype(jnp.int32)
 
     # history vote: rows k-10..k (global) = hist[k : k+half_depth]

@@ -464,10 +464,8 @@ class SdrDevice:
         rec.pending = []
 
     def _run_ddc(self, iq_dev, block_start_ms: int) -> None:
-        if isinstance(iq_dev, jnp.ndarray) and iq_dev.dtype == jnp.int8:
-            from rtl_sdr_scanner_tpu.ops.psd import dequantize_cs8
-
-            iq_dev = dequantize_cs8(iq_dev).reshape(-1)
+        if iq_dev.dtype == jnp.int8:
+            iq_dev = iq_dev.reshape(-1, 2)  # dequantized inside ddc_chunk
         else:
             iq_dev = iq_dev.reshape(-1)
         self._ddc_state, out = self._ddc_step(self._ddc_state, iq_dev, self._ddc_tables)

@@ -57,8 +57,5 @@ def test_bench_bands_smoke(monkeypatch, tmp_path):
     ss, outs = scan_step(ss, iq, now, keys, valid, jnp.float32(8.0))
     assert outs.compact.cand_idx.shape == (n_bands, 10, 16)
 
-    from rtl_sdr_scanner_tpu.ops.psd import dequantize_cs8
-
-    flat = dequantize_cs8(iq).reshape(n_bands, -1)
-    ds, rec = ddc_step(ds, flat, tables)
+    ds, rec = ddc_step(ds, iq.reshape(n_bands, -1, 2), tables)
     assert rec.shape[0] == n_bands and rec.shape[1] == 2  # bands, slots
