@@ -186,15 +186,22 @@ class CompactScanOutputs(NamedTuple):
 def unpack_compact(
     packed: "np.ndarray", frames: int, top_k: int, key_slots: int, spectro_size: int
 ):
-    """Host-side decode of CompactScanOutputs.packed (single fetch)."""
-    row = 3 * top_k + 1 + 2 * key_slots
+    """Host-side decode of CompactScanOutputs.packed (single fetch).
+
+    top_k is the plain-top-K setting; the candidate arrays additionally carry
+    the K_SEP margin-separated slots (ops/detect.py).
+    """
+    from rtl_sdr_scanner_tpu.ops.detect import K_SEP
+
+    n_cand = top_k + K_SEP
+    row = 3 * n_cand + 1 + 2 * key_slots
     body = packed[: frames * row].reshape(frames, row)
-    cand_idx = body[:, :top_k].astype(np.int32)
-    cand_val = body[:, top_k : 2 * top_k]
-    cand_best = body[:, 2 * top_k : 3 * top_k].astype(np.int32)
-    cand_count = body[:, 3 * top_k].astype(np.int32)
-    key_val = body[:, 3 * top_k + 1 : 3 * top_k + 1 + key_slots]
-    key_idx = body[:, 3 * top_k + 1 + key_slots :].astype(np.int32)
+    cand_idx = body[:, :n_cand].astype(np.int32)
+    cand_val = body[:, n_cand : 2 * n_cand]
+    cand_best = body[:, 2 * n_cand : 3 * n_cand].astype(np.int32)
+    cand_count = body[:, 3 * n_cand].astype(np.int32)
+    key_val = body[:, 3 * n_cand + 1 : 3 * n_cand + 1 + key_slots]
+    key_idx = body[:, 3 * n_cand + 1 + key_slots :].astype(np.int32)
     spectro = packed[frames * row : frames * row + spectro_size]
     noise_ready = bool(packed[frames * row + spectro_size] > 0.5)
     return cand_idx, cand_val, cand_best, cand_count, key_val, key_idx, spectro, noise_ready

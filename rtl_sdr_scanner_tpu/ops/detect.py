@@ -19,7 +19,13 @@ The host tracker consumes these in compact mode
 (runtime/transmission_tracker.py process_compact); full-row mode remains the
 bit-exact parity reference. Semantics match except two bounded cases:
 candidate overflow (> K bins above level in one frame; host logs) and signals
-added mid-block (updates approximated from candidates until the next block).
+added mid-block (updates approximated from candidates until the next block,
+so a mid-block-added signal that immediately fades below start level can miss
+sub-start-level last-activity refreshes for the remainder of that block).
+Isolated signals match frame-exactly (tests/test_detect_compact.py); signal
+CLUSTERS overlapping within the dedup margin can shift add/timeout timing by
+up to one block, while remaining behaviorally equivalent (same bands tracked
+over the same activity spans -- randomized stress test).
 """
 
 from __future__ import annotations
@@ -58,12 +64,43 @@ def _two_stage_top_k(rows: jnp.ndarray, k: int):
 
 
 class CompactOutputs(NamedTuple):
-    cand_idx: jnp.ndarray  # [F, K] i32 candidate bins, value-sorted desc
-    cand_val: jnp.ndarray  # [F, K] f32 smoothed power at candidate
-    cand_best: jnp.ndarray  # [F, K] i32 history-vote result per candidate
+    # candidates = plain top-K bins UNION greedy margin-separated top bins
+    # (strongest per +-submargin cluster). The union guarantees that dense
+    # clusters (many bins above level around few signals) cannot crowd a
+    # weaker distinct signal out of the candidate list; losing a signal now
+    # requires more DISTINCT signals than K_SEP in one frame.
+    cand_idx: jnp.ndarray  # [F, K + K_SEP] i32 candidate bins, value-sorted desc
+    cand_val: jnp.ndarray  # [F, K + K_SEP] f32 smoothed power at candidate
+    cand_best: jnp.ndarray  # [F, K + K_SEP] i32 history-vote result per candidate
     cand_count: jnp.ndarray  # [F] i32 number of bins >= start_level (masked)
     key_val: jnp.ndarray  # [F, S] f32 windowed max of avg around each key
     key_idx: jnp.ndarray  # [F, S] i32 argmax position for key_val
+
+
+K_SEP = 16  # margin-separated candidate slots
+
+
+def _margin_separated_top(rows: jnp.ndarray, k: int, submargin: int):
+    """Greedy strongest-first selection with +-submargin suppression.
+
+    Returns the top bin of each of the k strongest margin-separated clusters
+    (the reference's add loop can insert at most one signal per margin window,
+    contains_with_margin collection_utils.h:16-27).
+    """
+    f, fft = rows.shape
+    bins = jnp.arange(fft, dtype=jnp.int32)[None, :]
+    neg = jnp.float32(-3.3e38)
+
+    def body(carry, _):
+        cur = carry
+        idx = jnp.argmax(cur, axis=-1).astype(jnp.int32)  # [F]
+        val = jnp.take_along_axis(cur, idx[:, None], axis=-1)[:, 0]
+        suppress = jnp.abs(bins - idx[:, None]) <= submargin
+        cur = jnp.where(suppress, neg, cur)
+        return cur, (val, idx)
+
+    _, (vals, idxs) = jax.lax.scan(body, rows, None, length=k)
+    return vals.T, idxs.T  # [F, k]
 
 
 def _windowed_argmax(rows: jnp.ndarray, centers: jnp.ndarray, half: int, fft: int):
@@ -129,7 +166,11 @@ def compact_detection(
     neg = jnp.float32(-3.0e38)
 
     masked = jnp.where(valid_mask[None, :], avg, neg)
-    cand_val, cand_idx = _two_stage_top_k(masked, top_k)
+    top_val, top_idx = _two_stage_top_k(masked, top_k)
+    submargin = group_size // 2 if group_size % 2 == 0 else group_size // 2 + 1
+    sep_val, sep_idx = _margin_separated_top(masked, K_SEP, submargin)
+    cand_val = jnp.concatenate([top_val, sep_val], axis=1)
+    cand_idx = jnp.concatenate([top_idx, sep_idx], axis=1)
     cand_count = jnp.sum(masked >= start_level, axis=-1).astype(jnp.int32)
 
     # history vote: rows k-10..k (global) = hist[k : k+half_depth]

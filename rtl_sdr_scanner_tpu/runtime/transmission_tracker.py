@@ -276,22 +276,22 @@ class TransmissionTracker:
         key_idx: np.ndarray,  # [S] i32
         now_ms: int,
     ) -> List[FrequencyFlush]:
-        """One frame in compact mode (mirrors process())."""
-        k = len(cand_idx)
-        if cand_count > k and not getattr(self, "_overflow_warned", False):
-            logger.warn(
-                LABEL,
-                "candidate overflow: {} bins above level, top-{} kept",
-                int(cand_count),
-                k,
-            )
-            self._overflow_warned = True
+        """One frame in compact mode (mirrors process()).
 
-        # addSignals: candidates arrive value-sorted desc; stop at threshold
-        for i in range(min(int(cand_count), k)):
+        cand_* hold the union of plain top-K and margin-separated candidates
+        (ops/detect.py); merge into a single strongest-first pass with the
+        reference's ordering (desc value, lower index on ties).
+        """
+        order = np.lexsort((cand_idx, -cand_val))
+        seen_idx = set()
+
+        for i in order:
             index = int(cand_idx[i])
             if cand_val[i] < self._start_level:
                 break
+            if index in seen_idx:
+                continue
+            seen_idx.add(index)
             if contains_with_margin(self._signals.keys(), index, self._group_size) is None:
                 best = int(cand_best[i])
                 if best in self._signals:
@@ -324,7 +324,7 @@ class TransmissionTracker:
                 signal.new_data(int(key_idx[s]), float(key_val[s]), now_ms)
             else:
                 in_win = np.abs(cand_idx - index) <= half
-                in_win &= np.arange(len(cand_idx)) < int(cand_count)
+                in_win &= cand_val > -1.0e30  # exclude masked-out padding
                 if np.any(in_win):
                     j = int(np.argmax(np.where(in_win, cand_val, -np.inf)))
                     signal.new_data(int(cand_idx[j]), float(cand_val[j]), now_ms)

@@ -54,8 +54,10 @@ def test_bench_bands_smoke(monkeypatch, tmp_path):
     keys = jnp.asarray(np.full(16, -1, np.int32))
     valid = jnp.asarray(np.ones(cfg.fft_size, bool))
 
+    from rtl_sdr_scanner_tpu.ops.detect import K_SEP
+
     ss, outs = scan_step(ss, iq, now, keys, valid, jnp.float32(8.0))
-    assert outs.compact.cand_idx.shape == (n_bands, 10, 16)
+    assert outs.compact.cand_idx.shape == (n_bands, 10, 16 + K_SEP)
 
     ds, rec = ddc_step(ds, iq.reshape(n_bands, -1, 2), tables)
     assert rec.shape[0] == n_bands and rec.shape[1] == 2  # bands, slots

@@ -7,6 +7,7 @@ synthetic keyed-NFM scenario.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rtl_sdr_scanner_tpu.models.scan_pipeline import (
     ScanConfig,
@@ -70,15 +71,28 @@ def _make_tracker(cfg):
     )
 
 
-def _make_iq(rng):
-    seconds, key_from, key_to = 8.0, 3.0, 6.0
+def _make_iq(rng, signals=((SHIFT_HZ, 800, 3.0, 6.0),)):
+    seconds = 8.0
     n = int(RATE * seconds)
     t = np.arange(n) / RATE
     iq = 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
-    audio = np.sin(2 * np.pi * 800 * t)
-    phase = 2 * np.pi * SHIFT_HZ * t + 2 * np.pi * 3000 * np.cumsum(audio) / RATE
-    iq += 0.4 * np.exp(1j * phase) * ((t >= key_from) & (t < key_to))
+    for shift, tone, key_from, key_to in signals:
+        audio = np.sin(2 * np.pi * tone * t)
+        phase = 2 * np.pi * shift * t + 2 * np.pi * 3000 * np.cumsum(audio) / RATE
+        amp = 0.2 + 0.4 * rng.random()
+        iq += amp * np.exp(1j * phase) * ((t >= key_from) & (t < key_to))
     return iq.astype(np.complex64)
+
+
+def _random_signals(rng, count):
+    out = []
+    for _ in range(count):
+        shift = int(rng.integers(-100_000, 100_000))
+        tone = int(rng.integers(300, 2000))
+        start = float(rng.uniform(2.5, 4.5))
+        stop = start + float(rng.uniform(1.0, 3.0))
+        out.append((shift, tone, start, stop))
+    return out
 
 
 def test_compact_matches_full_pipeline():
@@ -140,3 +154,90 @@ def test_compact_matches_full_pipeline():
     cmp_flush = [(t, sorted(tr)) for t, tr in cmp_log]
     diff = [(a, b) for a, b in zip(full_flush, cmp_flush) if a != b]
     assert len(diff) == 0, diff[:5]
+
+
+def _run_both(iq, cfg):
+    group = cfg.fft_size * cfg.decimator_factor
+    n_blocks = len(iq) // cfg.block_samples
+    frame_ms = cfg.frame_interval_ms
+    full_step = make_scan_step(cfg)
+    compact_step = make_compact_scan_step(cfg, GROUP, TOP_K)
+    t_full = _make_tracker(cfg)
+    t_cmp = _make_tracker(cfg)
+    s_full = init_scan_state(cfg)
+    s_cmp = init_scan_state(cfg)
+    valid = jnp.asarray(np.ones(cfg.fft_size, dtype=bool))
+
+    full_log, cmp_log = [], []
+    for b in range(n_blocks):
+        block = iq[b * cfg.block_samples : (b + 1) * cfg.block_samples]
+        framed = jnp.asarray(block.reshape(cfg.frames_per_block, group))
+        now = (
+            (b * cfg.frames_per_block + 1 + np.arange(cfg.frames_per_block)) * frame_ms
+        ).astype(np.int32)
+        s_full, o = full_step(s_full, framed, jnp.asarray(now))
+        raw, avg = np.asarray(o.raw), np.asarray(o.avg)
+        for k in range(cfg.frames_per_block):
+            full_log.append((int(now[k]), sorted(t_full.process(raw[k], avg[k], int(now[k])))))
+        slot_keys = t_cmp.current_keys(KEY_SLOTS)
+        s_cmp, oc = compact_step(
+            s_cmp, framed, jnp.asarray(now), jnp.asarray(slot_keys), valid, jnp.float32(8.0)
+        )
+        c = oc.compact
+        ci, cv = np.asarray(c.cand_idx), np.asarray(c.cand_val)
+        cb, cc = np.asarray(c.cand_best), np.asarray(c.cand_count)
+        kv, ki = np.asarray(c.key_val), np.asarray(c.key_idx)
+        for k in range(cfg.frames_per_block):
+            cmp_log.append(
+                (
+                    int(now[k]),
+                    sorted(
+                        t_cmp.process_compact(
+                            ci[k], cv[k], cb[k], int(cc[k]), slot_keys, kv[k], ki[k], int(now[k])
+                        )
+                    ),
+                )
+            )
+    return full_log, cmp_log
+
+
+@pytest.mark.parametrize("seed", [7, 19, 42])
+def test_compact_matches_full_randomized(seed):
+    """Randomized multi-signal scenes incl. signals overlapping within the
+    dedup margin. Overlapping clusters are the documented divergence class of
+    compact mode (mid-block adds miss sub-start-level updates until the next
+    block, shifting timeout timing), so the contract here is behavioral:
+    every band full mode tracks is tracked by compact mode within the margin
+    (and vice versa), with substantially overlapping active time."""
+    rng = np.random.default_rng(seed)
+    cfg = ScanConfig.create(RATE, frames_per_block=10)
+    iq = _make_iq(rng, signals=_random_signals(rng, 3))
+    full_log, cmp_log = _run_both(iq, cfg)
+
+    margin_hz = int(GROUP * cfg.step_hz)  # dedup margin in Hz
+
+    def activity(log):
+        spans = {}
+        for t, shifts in log:
+            for s, _ in shifts:
+                lo, hi = spans.get(s, (t, t))
+                spans[s] = (min(lo, t), max(hi, t))
+        return spans
+
+    act_full = activity(full_log)
+    act_cmp = activity(cmp_log)
+    assert act_full and act_cmp
+
+    def covered(spans_a, spans_b):
+        for s, (lo, hi) in spans_a.items():
+            if hi - lo < 400:
+                continue  # transient blips may legitimately differ
+            near = [
+                (lo2, hi2) for s2, (lo2, hi2) in spans_b.items() if abs(s2 - s) <= margin_hz
+            ]
+            assert near, (s, sorted(spans_b))
+            overlap = max(min(h, hi) - max(l, lo) for l, h in near)
+            assert overlap > 0.5 * (hi - lo), (s, (lo, hi), near)
+
+    covered(act_full, act_cmp)
+    covered(act_cmp, act_full)
