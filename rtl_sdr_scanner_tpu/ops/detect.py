@@ -49,7 +49,9 @@ def _two_stage_top_k(rows: jnp.ndarray, k: int):
     """
     *lead, n = rows.shape
     seg_width = 1024
-    if n <= seg_width or n % seg_width != 0 or k > seg_width:
+    while seg_width < k:  # segments must each be able to hold k winners
+        seg_width *= 2
+    if n <= seg_width or n % seg_width != 0:
         vals, idxs = jax.lax.top_k(rows, k)
         return vals, idxs
     s = n // seg_width
@@ -86,21 +88,29 @@ def _margin_separated_top(rows: jnp.ndarray, k: int, submargin: int):
     Returns the top bin of each of the k strongest margin-separated clusters
     (the reference's add loop can insert at most one signal per margin window,
     contains_with_margin collection_utils.h:16-27).
+
+    Cost control: the greedy pass runs over the top-m candidate subset with
+    m = k * (2*submargin + 1), which is provably sufficient -- any bin
+    outranking the i-th separated pick must lie inside one of the previous
+    i-1 suppressed windows (else it would itself be a pick), so at most
+    (i-1)*(2*submargin+1) bins rank above pick i.
     """
     f, fft = rows.shape
-    bins = jnp.arange(fft, dtype=jnp.int32)[None, :]
+    m = min(fft, k * (2 * submargin + 1))
+    vals0, idxs0 = _two_stage_top_k(rows, m)  # [F, m] desc
     neg = jnp.float32(-3.3e38)
 
     def body(carry, _):
-        cur = carry
-        idx = jnp.argmax(cur, axis=-1).astype(jnp.int32)  # [F]
-        val = jnp.take_along_axis(cur, idx[:, None], axis=-1)[:, 0]
-        suppress = jnp.abs(bins - idx[:, None]) <= submargin
-        cur = jnp.where(suppress, neg, cur)
-        return cur, (val, idx)
+        cur_vals = carry
+        j = jnp.argmax(cur_vals, axis=-1)  # [F] position within m
+        val = jnp.take_along_axis(cur_vals, j[:, None], axis=-1)[:, 0]
+        idx = jnp.take_along_axis(idxs0, j[:, None], axis=-1)[:, 0]
+        suppress = jnp.abs(idxs0 - idx[:, None]) <= submargin
+        cur_vals = jnp.where(suppress, neg, cur_vals)
+        return cur_vals, (val, idx)
 
-    _, (vals, idxs) = jax.lax.scan(body, rows, None, length=k)
-    return vals.T, idxs.T  # [F, k]
+    _, (vals, idxs) = jax.lax.scan(body, vals0, None, length=k)
+    return vals.T, idxs.T.astype(jnp.int32)  # [F, k]
 
 
 def _windowed_argmax(rows: jnp.ndarray, centers: jnp.ndarray, half: int, fft: int):

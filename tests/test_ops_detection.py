@@ -91,6 +91,21 @@ def test_averager_reference_semantics():
     np.testing.assert_allclose(hist, frames[-depth:], rtol=1e-6)
 
 
+def test_averager_reset_semantics():
+    """Reset (retune) re-zeros the ring and restores the warmup sentinel
+    (reference averager.cpp:27-34; tests/test_averager.cpp reset case)."""
+    fft, depth = 8, 4
+    state = init_averager_state(fft, depth)
+    frames = RNG.standard_normal((5, fft)).astype(np.float32)
+    for f in frames:
+        state, mean = averager_step(state, jnp.asarray(f))
+    assert not np.any(np.asarray(mean) == NO_DATA)
+
+    state = init_averager_state(fft, depth)  # reset == fresh state
+    state, mean = averager_step(state, jnp.asarray(frames[0]))
+    np.testing.assert_array_equal(np.asarray(mean), np.full(fft, NO_DATA, np.float32))
+
+
 def test_sliding_average_matches_host_and_reference():
     data = np.array([1, 2, 3, 4, 5, 6, 7, 8, 9], dtype=np.float32)
     got = np.asarray(sliding_average(jnp.asarray(data), 5))
