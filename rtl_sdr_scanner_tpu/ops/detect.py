@@ -89,28 +89,25 @@ def _margin_separated_top(rows: jnp.ndarray, k: int, submargin: int):
     (the reference's add loop can insert at most one signal per margin window,
     contains_with_margin collection_utils.h:16-27).
 
-    Cost control: the greedy pass runs over the top-m candidate subset with
-    m = k * (2*submargin + 1), which is provably sufficient -- any bin
-    outranking the i-th separated pick must lie inside one of the previous
-    i-1 suppressed windows (else it would itself be a pick), so at most
-    (i-1)*(2*submargin+1) bins rank above pick i.
+    Cost: k argmax+mask sweeps over the rows (~30 MB of HBM traffic per
+    sweep at fft=131072 x 20 frames) -- cheap relative to the sort-based
+    top-k. (A top-m-subset variant was tried and reverted: materializing
+    per-segment top-m blows memory when m approaches the segment width.)
     """
     f, fft = rows.shape
-    m = min(fft, k * (2 * submargin + 1))
-    vals0, idxs0 = _two_stage_top_k(rows, m)  # [F, m] desc
+    bins = jnp.arange(fft, dtype=jnp.int32)[None, :]
     neg = jnp.float32(-3.3e38)
 
     def body(carry, _):
-        cur_vals = carry
-        j = jnp.argmax(cur_vals, axis=-1)  # [F] position within m
-        val = jnp.take_along_axis(cur_vals, j[:, None], axis=-1)[:, 0]
-        idx = jnp.take_along_axis(idxs0, j[:, None], axis=-1)[:, 0]
-        suppress = jnp.abs(idxs0 - idx[:, None]) <= submargin
-        cur_vals = jnp.where(suppress, neg, cur_vals)
-        return cur_vals, (val, idx)
+        cur = carry
+        idx = jnp.argmax(cur, axis=-1).astype(jnp.int32)  # [F]
+        val = jnp.take_along_axis(cur, idx[:, None], axis=-1)[:, 0]
+        suppress = jnp.abs(bins - idx[:, None]) <= submargin
+        cur = jnp.where(suppress, neg, cur)
+        return cur, (val, idx)
 
-    _, (vals, idxs) = jax.lax.scan(body, vals0, None, length=k)
-    return vals.T, idxs.T.astype(jnp.int32)  # [F, k]
+    _, (vals, idxs) = jax.lax.scan(body, rows, None, length=k)
+    return vals.T, idxs.T  # [F, k]
 
 
 def _windowed_argmax(rows: jnp.ndarray, centers: jnp.ndarray, half: int, fft: int):
