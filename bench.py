@@ -135,7 +135,7 @@ def main() -> int:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr)
 
-    band_counts = [args.bands] if args.bands else [8, 16, 32]
+    band_counts = [args.bands] if args.bands else [16, 32]
     best = 0.0
     best_bands = 1
     for nb in band_counts:
