@@ -13,8 +13,9 @@ RNG = np.random.default_rng(77)
 def test_two_stage_equals_single_topk():
     for shape, k in (((4, 8192), 64), ((2, 131072), 64), ((3, 4096), 16)):
         rows = RNG.standard_normal(shape).astype(np.float32)
-        # inject ties
-        rows[..., 100] = rows[..., 5000] = rows[..., 7000] = 3.333
+        # inject ties spread across segments
+        n = shape[-1]
+        rows[..., 100] = rows[..., n // 2] = rows[..., n - 10] = 3.333
         v2, i2 = _two_stage_top_k(jnp.asarray(rows), k)
         v1, i1 = jax.lax.top_k(jnp.asarray(rows), k)
         np.testing.assert_array_equal(np.asarray(v2), np.asarray(v1))
