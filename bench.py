@@ -45,14 +45,11 @@ def bench_bands(n_bands: int, seconds: float, host_fed: bool):
     import jax
     import jax.numpy as jnp
 
-    from rtl_sdr_scanner_tpu.models.ddc_pipeline import DdcConfig, _ddc_block
+    from rtl_sdr_scanner_tpu.models.ddc_pipeline import DdcConfig
     from rtl_sdr_scanner_tpu.models.ddc_pipeline import init_state as ddc_init
     from rtl_sdr_scanner_tpu.models.ddc_pipeline import make_tables
-    from rtl_sdr_scanner_tpu.models.scan_pipeline import (
-        ScanConfig,
-        _compact_scan_block,
-        init_scan_state,
-    )
+    from rtl_sdr_scanner_tpu.models.fused_step import make_banded_fused_step
+    from rtl_sdr_scanner_tpu.models.scan_pipeline import ScanConfig, init_scan_state
 
     cfg = ScanConfig.create(RATE, frames_per_block=FRAMES)
     assert cfg.fft_size == 131072 and cfg.decimator_factor == 3
@@ -61,15 +58,9 @@ def bench_bands(n_bands: int, seconds: float, host_fed: bool):
     ddc_cfg = DdcConfig.create(RATE, 16000, SLOTS_PER_BAND, block)
     group_size = int(np.ceil(16000 / cfg.step_hz))
 
-    scan_one = functools.partial(_compact_scan_block, cfg, group_size, 64)
-    scan_step = jax.jit(
-        jax.vmap(scan_one, in_axes=(0, 0, 0, None, None, None)),
-        donate_argnums=(0,),
-    )
-    ddc_step = jax.jit(
-        jax.vmap(functools.partial(_ddc_block, ddc_cfg), in_axes=(0, 0, 0)),
-        donate_argnums=(0,),
-    )
+    # ONE dispatch per block: scan + K-slot DDC fused in a single jit,
+    # vmapped over bands (models/fused_step.py).
+    step = make_banded_fused_step(cfg, ddc_cfg, group_size, 64)
 
     rng = np.random.default_rng(0)
     host_blocks = [
@@ -90,33 +81,39 @@ def bench_bands(n_bands: int, seconds: float, host_fed: bool):
     valid = jnp.asarray(np.ones(cfg.fft_size, dtype=bool))
     start_level = jnp.float32(8.0)
 
-    def run_block(b: int, scan_state, ddc_state):
+    def dispatch(b: int, scan_state, ddc_state):
         if host_fed:
             iq_int8 = jax.device_put(host_blocks[b % RING])
         else:
             iq_int8 = ring[b % RING]
         now = ((b * FRAMES + 1 + np.arange(FRAMES)) * frame_ms).astype(np.int32)
         now_b = jnp.broadcast_to(jnp.asarray(now), (n_bands, FRAMES))
-        scan_state, outs = scan_step(scan_state, iq_int8, now_b, keys, valid, start_level)
-        # int8 feeds the DDC directly; dequant fuses with the rotation
-        ddc_state, rec = ddc_step(
-            ddc_state, iq_int8.reshape(n_bands, -1, 2), tables
+        return step(
+            scan_state, ddc_state, iq_int8, now_b, keys, valid, start_level, tables
         )
-        # host consumes one packed array per band-batch + the recordings
-        fetched = (np.asarray(outs.packed), np.asarray(rec))
-        return scan_state, ddc_state, fetched
 
     for b in range(WARMUP):
-        scan_state, ddc_state, _ = run_block(b, scan_state, ddc_state)
+        scan_state, ddc_state, outs = dispatch(b, scan_state, ddc_state)
+        _ = (np.asarray(outs.packed), np.asarray(outs.recording))
 
+    # Timed loop keeps ONE block in flight: fetch block b-1's outputs while
+    # block b computes (JAX async dispatch overlaps the d2h transfer).
     t0 = time.perf_counter()
     blocks_done = 0
+    pending = None
     while True:
-        scan_state, ddc_state, _ = run_block(WARMUP + blocks_done, scan_state, ddc_state)
+        scan_state, ddc_state, outs = dispatch(
+            WARMUP + blocks_done, scan_state, ddc_state
+        )
+        if pending is not None:
+            _ = (np.asarray(pending.packed), np.asarray(pending.recording))
+        pending = outs
         blocks_done += 1
         elapsed = time.perf_counter() - t0
         if elapsed >= seconds and blocks_done >= 6:
             break
+    _ = (np.asarray(pending.packed), np.asarray(pending.recording))
+    elapsed = time.perf_counter() - t0
 
     samples = blocks_done * block * n_bands
     return samples / elapsed

@@ -61,9 +61,23 @@ def run(config_file: str) -> int:
             Config.save_to_file(config_file, new_json)
             reload_requested[0] = True
 
-        remote = RemoteController(config, instance_id, mqtt, config_callback)
-
         scanners: List[Scanner] = []
+
+        def restart_callback():
+            logger.info(LABEL, "restart requested")
+            reload_requested[0] = True
+
+        def manual_recording_callback(frequency: int, duration_ms: int) -> bool:
+            return any(s.manual_record(frequency, duration_ms) for s in scanners)
+
+        remote = RemoteController(
+            config,
+            instance_id,
+            mqtt,
+            config_callback,
+            manual_recording_callback=manual_recording_callback,
+            restart_callback=restart_callback,
+        )
         for device in config.devices:
             try:
                 if not device.enabled:

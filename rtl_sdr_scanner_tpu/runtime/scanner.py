@@ -161,6 +161,14 @@ class Scanner:
                 return raw
         return self._source.read_block(n)
 
+    def manual_record(self, frequency: int, duration_ms: int) -> bool:
+        """Queue a manual recording if any configured range covers frequency
+        (extension; the reference stubs sdr/manual_recording)."""
+        if not any(lo <= frequency <= hi for lo, hi in self._ranges):
+            return False
+        self.device.request_manual_recording(frequency, duration_ms)
+        return True
+
     # -- lifecycle ---------------------------------------------------------
 
     def run_to_completion(self) -> None:

@@ -157,6 +157,11 @@ class SdrDevice:
         self._ignored_transmissions: Set[int] = set()
 
         self._spectro_containers: Dict[int, SpectroContainer] = {}
+        # manual recordings (extension; the reference stubs sdr/manual_recording,
+        # remote_controller.cpp:45): absolute frequency -> remaining duration or
+        # expiry stream-ms once armed
+        self._manual_requests: List[Tuple[int, int]] = []  # (frequency, duration_ms)
+        self._manual_active: Dict[int, int] = {}  # frequency -> expiry stream ms
         self._last_notification: List[FrequencyFlush] = []
         self._perf = PerformanceLogger("PSD", self._tunables)
 
@@ -365,6 +370,8 @@ class SdrDevice:
 
         # merge per-frame flush flags into the block-level reconcile
         merged = [(shift, flush_any.get(shift, False)) for shift, _ in notification]
+        merged = self._merge_manual(merged, int(now_arr[-1]))
+        self._last_notification = notification = merged
         self.update_recordings(
             merged, int(now_arr[-1]),
             start_fractions={
@@ -379,6 +386,64 @@ class SdrDevice:
             spectro_np = np.asarray(outs.spectro_sum)
         self._accumulate_spectrogram(spectro_np, int(now_arr[-1]))
         return notification
+
+    # -- manual recordings (extension over remote_controller.cpp:45 stub) ---
+
+    def request_manual_recording(self, frequency: int, duration_ms: int) -> None:
+        """Force-record `frequency` for `duration_ms` of stream time.
+
+        The recording arms when the scan range covers the frequency (the
+        band-hop scheduler naturally reaches it) and then streams through a
+        recorder slot like a detected transmission, holding the scanner on the
+        range until it expires (hold-while-recording, scanner.cpp:52-56).
+        """
+        self._manual_requests.append((int(frequency), int(duration_ms)))
+        logger.info(
+            LABEL,
+            "manual recording requested, frequency: {}, duration: {} ms",
+            format_frequency(int(frequency)),
+            int(duration_ms),
+        )
+
+    def _merge_manual(
+        self, merged: List[FrequencyFlush], now_ms: int
+    ) -> List[FrequencyFlush]:
+        from rtl_sdr_scanner_tpu.utils.radio_utils import get_tuned_frequency
+
+        lo, hi = self._frequency_range
+        # arm pending requests whose frequency the current range covers
+        still_pending = []
+        for freq, duration in self._manual_requests:
+            if lo <= freq <= hi and lo != hi:
+                self._manual_active[freq] = now_ms + duration
+                logger.info(
+                    LABEL, "manual recording armed, frequency: {}", format_frequency(freq)
+                )
+            else:
+                still_pending.append((freq, duration))
+        self._manual_requests = still_pending
+
+        # expire / emit active manual recordings as always-flushing shifts
+        center = self.center_frequency
+        shifts = {s for s, _ in merged}
+        out = list(merged)
+        for freq in list(self._manual_active):
+            if self._manual_active[freq] <= now_ms or not (lo <= freq <= hi):
+                logger.info(
+                    LABEL, "manual recording done, frequency: {}", format_frequency(freq)
+                )
+                del self._manual_active[freq]
+                continue
+            shift = get_tuned_frequency(freq - center, self._config.recording_tuning_step)
+            if shift in shifts:
+                out = [(s, True if s == shift else f) for s, f in out]
+            else:
+                out.append((shift, True))
+        return out
+
+    @property
+    def has_manual_recording(self) -> bool:
+        return bool(self._manual_active)
 
     # -- recorder reconcile (sdr_device.cpp:82-144) ------------------------
 

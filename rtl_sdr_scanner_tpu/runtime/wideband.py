@@ -106,6 +106,15 @@ class WidebandScanner:
     def sessions(self) -> List[SdrDevice]:
         return self._sessions
 
+    def manual_record(self, frequency: int, duration_ms: int) -> bool:
+        """Route a manual recording to the sub-band session covering it."""
+        for session in self._sessions:
+            lo, hi = session._frequency_range
+            if lo <= frequency <= hi:
+                session.request_manual_recording(frequency, duration_ms)
+                return True
+        return False
+
     def step(self) -> bool:
         block = self._source.read_block(self._wide_block)
         if block is None:

@@ -61,3 +61,63 @@ def test_bench_bands_smoke(monkeypatch, tmp_path):
 
     ds, rec = ddc_step(ds, iq.reshape(n_bands, -1, 2), tables)
     assert rec.shape[0] == n_bands and rec.shape[1] == 2  # bands, slots
+
+
+def test_fused_step_matches_separate_steps():
+    """The single-dispatch fused scan+DDC program (models/fused_step.py, the
+    bench path) must produce bit-identical outputs to the separate jitted
+    scan and DDC steps."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from rtl_sdr_scanner_tpu.models.ddc_pipeline import DdcConfig, _ddc_block
+    from rtl_sdr_scanner_tpu.models.ddc_pipeline import init_state as ddc_init
+    from rtl_sdr_scanner_tpu.models.ddc_pipeline import make_tables
+    from rtl_sdr_scanner_tpu.models.fused_step import make_banded_fused_step
+    from rtl_sdr_scanner_tpu.models.scan_pipeline import (
+        ScanConfig,
+        _compact_scan_block,
+        init_scan_state,
+    )
+
+    cfg = ScanConfig.create(256000, frames_per_block=10)
+    n_bands = 2
+    group = cfg.fft_size * cfg.decimator_factor
+    ddc_cfg = DdcConfig.create(256000, 16000, 2, cfg.block_samples)
+    group_size = int(np.ceil(16000 / cfg.step_hz))
+
+    scan_step = jax.jit(
+        jax.vmap(
+            functools.partial(_compact_scan_block, cfg, group_size, 16),
+            in_axes=(0, 0, 0, None, None, None),
+        )
+    )
+    ddc_step = jax.jit(jax.vmap(functools.partial(_ddc_block, ddc_cfg), in_axes=(0, 0, 0)))
+    fused_step = make_banded_fused_step(cfg, ddc_cfg, group_size, 16)
+
+    rng = np.random.default_rng(1)
+    stack = lambda a: jnp.broadcast_to(a, (n_bands,) + a.shape)
+    tables = jax.tree.map(stack, make_tables(ddc_cfg, np.array([30000, -20000])))
+    keys = jnp.asarray(np.full(16, -1, np.int32))
+    valid = jnp.asarray(np.ones(cfg.fft_size, bool))
+    level = jnp.float32(8.0)
+
+    ss_a = jax.tree.map(stack, init_scan_state(cfg, 0))
+    ds_a = jax.tree.map(stack, ddc_init(ddc_cfg))
+    ss_b = jax.tree.map(stack, init_scan_state(cfg, 0))
+    ds_b = jax.tree.map(stack, ddc_init(ddc_cfg))
+
+    for b in range(3):
+        iq = jnp.asarray(
+            rng.integers(-64, 64, size=(n_bands, 10, group, 2), dtype=np.int8)
+        )
+        now = jnp.broadcast_to(
+            (b * 10 + jnp.arange(1, 11, dtype=jnp.int32)) * 100, (n_bands, 10)
+        )
+        ss_a, outs = scan_step(ss_a, iq, now, keys, valid, level)
+        ds_a, rec = ddc_step(ds_a, iq.reshape(n_bands, -1, 2), tables)
+        ss_b, ds_b, fused = fused_step(ss_b, ds_b, iq, now, keys, valid, level, tables)
+        np.testing.assert_array_equal(np.asarray(fused.packed), np.asarray(outs.packed))
+        np.testing.assert_array_equal(np.asarray(fused.recording), np.asarray(rec))

@@ -166,3 +166,35 @@ def test_remote_controller_flow():
 
     mqtt.inject("sdr/config/abc", "{not json")
     assert any(t == "sdr/config/abc/failed" for t, _ in mqtt.published)
+
+
+def test_remote_controller_manual_recording_and_restart():
+    mqtt = NullMqtt()
+    mqtt.keep_payloads = True
+    cfg = Config(default_config_json())
+    manual = []
+    restarted = []
+    RemoteController(
+        cfg,
+        "abc",
+        mqtt,
+        lambda _cfg: None,
+        manual_recording_callback=lambda f, d: (manual.append((f, d)), True)[1],
+        restart_callback=lambda: restarted.append(True),
+    )
+
+    mqtt.inject(
+        "sdr/manual_recording",
+        json.dumps({"frequency": 145_030_000, "duration_ms": 2500}),
+    )
+    assert manual == [(145_030_000, 2500)]
+
+    mqtt.inject("sdr/manual_recording", json.dumps({"frequency": 145_000_000}))
+    assert manual[-1] == (145_000_000, 10_000)  # default duration
+
+    mqtt.inject("sdr/manual_recording", "{not json")  # must not raise
+    mqtt.inject("sdr/manual_recording", json.dumps({"duration_ms": 5}))  # no freq
+    assert len(manual) == 2
+
+    mqtt.inject("sdr/restart/abc", "")
+    assert restarted == [True]
