@@ -167,11 +167,18 @@ def reset_slot(state: DdcState, slot: int) -> DdcState:
 
 
 class NcoTables(NamedTuple):
-    """Per-slot angle tables: angle(n) = coarse[n // Q] + fine[n % Q] (mod-2pi
-    terms, each < 2pi, so float32 stays exact to ~1e-7 rad)."""
+    """Per-slot rotation tables in complex (cos, sin) form.
 
-    coarse: jnp.ndarray  # [K, chunk//Q] f32
-    fine: jnp.ndarray  # [K, Q] f32
+    angle(n) = coarse[n // Q] + fine[n % Q] (exact int64 modular host math),
+    applied as e^{i angle} = coarse_c * fine_c -- a complex MULTIPLY of two
+    unit-magnitude table entries instead of per-sample cos/sin (transcendental
+    throughput, not bandwidth, bounded the rotation on v5e). f32 error per
+    product ~1e-7, far inside the int8 recording tolerance."""
+
+    coarse_re: jnp.ndarray  # [K, chunk//Q] f32 = cos(coarse angle)
+    coarse_im: jnp.ndarray  # [K, chunk//Q] f32 = sin(coarse angle)
+    fine_re: jnp.ndarray  # [K, Q] f32
+    fine_im: jnp.ndarray  # [K, Q] f32
     step: jnp.ndarray  # [K] f32: (phase_inc * chunk) mod 2pi
 
 
@@ -204,10 +211,13 @@ def make_nco_tables(shifts: np.ndarray, sample_rate: int, chunk: int) -> NcoTabl
     coarse = ((smod[:, None] * q[None, :]) % sample_rate) * two_pi_over_rate
 
     step = ((smod * chunk) % sample_rate) * two_pi_over_rate
+    f32 = lambda a: jnp.asarray(a, dtype=jnp.float32)
     return NcoTables(
-        coarse=jnp.asarray(coarse, dtype=jnp.float32),
-        fine=jnp.asarray(fine, dtype=jnp.float32),
-        step=jnp.asarray(step, dtype=jnp.float32),
+        coarse_re=f32(np.cos(coarse)),
+        coarse_im=f32(np.sin(coarse)),
+        fine_re=f32(np.cos(fine)),
+        fine_im=f32(np.sin(fine)),
+        step=f32(step),
     )
 
 
@@ -278,12 +288,20 @@ def ddc_chunk(
     chunk = iq.shape[0]
     k = state.phase.shape[0]
 
-    angle = (
-        state.phase[:, None, None] + tables.coarse[:, :, None] + tables.fine[:, None, :]
-    )  # [K, nq, Q]
-    angle = angle.reshape(k, chunk)
-    rot_re = jnp.cos(angle)
-    rot_im = jnp.sin(angle)
+    # rot = e^{i phase} * coarse_c * fine_c: two complex multiplies from unit
+    # tables; only the K block-start phases need cos/sin
+    ph_re = jnp.cos(state.phase)[:, None]
+    ph_im = jnp.sin(state.phase)[:, None]
+    c_re = ph_re * tables.coarse_re - ph_im * tables.coarse_im  # [K, nq]
+    c_im = ph_re * tables.coarse_im + ph_im * tables.coarse_re
+    rot_re = (
+        c_re[:, :, None] * tables.fine_re[:, None, :]
+        - c_im[:, :, None] * tables.fine_im[:, None, :]
+    ).reshape(k, chunk)
+    rot_im = (
+        c_re[:, :, None] * tables.fine_im[:, None, :]
+        + c_im[:, :, None] * tables.fine_re[:, None, :]
+    ).reshape(k, chunk)
     if iq.dtype == jnp.int8:
         x_re = (iq[:, 0].astype(jnp.float32) * (1.0 / 127.5))[None, :]
         x_im = (iq[:, 1].astype(jnp.float32) * (1.0 / 127.5))[None, :]

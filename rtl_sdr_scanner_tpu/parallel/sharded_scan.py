@@ -78,17 +78,19 @@ def make_time_sharded_ddc(cfg: DdcConfig, mesh: Mesh):
     """
     n_time = mesh.shape[TIME_AXIS]
 
-    def shard_fn(iq_local: jnp.ndarray, coarse_local, fine, phase0) -> jnp.ndarray:
-        # iq_local: [1, n_local]; coarse_local: [K, nq_local] -- shard_map
-        # hands each time shard its own slice of the global angle tables
+    def shard_fn(iq_local, c_re_l, c_im_l, f_re, f_im, phase0) -> jnp.ndarray:
+        # iq_local: [1, n_local]; c_*_l: [K, nq_local] -- shard_map hands each
+        # time shard its own slice of the global (cos, sin) rotation tables
         k = phase0.shape[0]
-        angle = (
-            phase0[:, None, None] + coarse_local[:, :, None] + fine[:, None, :]
-        ).reshape(k, -1)
+        ph_re, ph_im = jnp.cos(phase0)[:, None], jnp.sin(phase0)[:, None]
+        cr = ph_re * c_re_l - ph_im * c_im_l
+        ci = ph_re * c_im_l + ph_im * c_re_l
+        rot_re = (cr[:, :, None] * f_re[:, None, :] - ci[:, :, None] * f_im[:, None, :]).reshape(k, -1)
+        rot_im = (cr[:, :, None] * f_im[:, None, :] + ci[:, :, None] * f_re[:, None, :]).reshape(k, -1)
         y = jnp.stack(
             [
-                jnp.real(iq_local) * jnp.cos(angle) - jnp.imag(iq_local) * jnp.sin(angle),
-                jnp.real(iq_local) * jnp.sin(angle) + jnp.imag(iq_local) * jnp.cos(angle),
+                jnp.real(iq_local) * rot_re - jnp.imag(iq_local) * rot_im,
+                jnp.real(iq_local) * rot_im + jnp.imag(iq_local) * rot_re,
             ],
             axis=1,
         )  # [K, 2, n_local]
@@ -101,8 +103,10 @@ def make_time_sharded_ddc(cfg: DdcConfig, mesh: Mesh):
         mesh=mesh,
         in_specs=(
             P(None, TIME_AXIS),  # iq [1, n_global] split on time
-            P(None, TIME_AXIS),  # coarse [K, n_q_global] split on time
-            P(None, None),  # fine [K, Q] replicated
+            P(None, TIME_AXIS),  # coarse cos [K, n_q_global] split on time
+            P(None, TIME_AXIS),  # coarse sin [K, n_q_global] split on time
+            P(None, None),  # fine cos [K, Q] replicated
+            P(None, None),  # fine sin [K, Q] replicated
             P(None),  # phase0 [K] replicated
         ),
         out_specs=P(None, TIME_AXIS, None),  # [K, out_global, 2] split on time
@@ -111,7 +115,12 @@ def make_time_sharded_ddc(cfg: DdcConfig, mesh: Mesh):
 
     def step(iq_global: jnp.ndarray, tables: NcoTables) -> jnp.ndarray:
         out = fn(
-            iq_global[None, :], tables.coarse, tables.fine, jnp.zeros_like(tables.step)
+            iq_global[None, :],
+            tables.coarse_re,
+            tables.coarse_im,
+            tables.fine_re,
+            tables.fine_im,
+            jnp.zeros_like(tables.step),
         )
         return out
 
