@@ -110,6 +110,51 @@ def _margin_separated_top(rows: jnp.ndarray, k: int, submargin: int):
     return vals.T, idxs.T  # [F, k]
 
 
+def sliding_argmax(rows: jnp.ndarray, half: int):
+    """(max value, FIRST-max index) over the clamped window [c-half, c+half]
+    for EVERY center c, via a sparse table (doubling) + two-lookup combine.
+
+    rows: [..., n] -> (values [..., n] f32, indices [..., n] i32).
+
+    Pure shifted slices: level j combines each position with the one 2^j to
+    its right; a window of width w is then the combine of two overlapping
+    2^J spans (J = floor(log2 w)) -- overlap is harmless for max, and
+    first-occurrence index survives because the earlier span wins ties.
+    Arbitrary-index gathers are scalar-slow on TPU; this replaces the
+    per-candidate window gather that dominated the scan step. Edge windows
+    shrink like the host get_max_index (the -inf padding never wins).
+    """
+    *lead, n = rows.shape
+    w = 2 * half + 1
+    j_max = 0
+    while (1 << (j_max + 1)) <= w:
+        j_max += 1
+    span = 1 << j_max  # largest power of two <= w
+    neg = -jnp.inf
+    # padded coords: real bin b at position b + half; lookups reach
+    # (n-1) + (w - span) + span - 1 = n + w - 2
+    total = n + 2 * half + span
+    pad_cfg = [(0, 0)] * len(lead)
+    v = jnp.pad(rows.astype(jnp.float32), pad_cfg + [(half, total - n - half)], constant_values=neg)
+    i = jnp.broadcast_to(jnp.arange(total, dtype=jnp.int32) - half, v.shape)
+
+    for j in range(j_max):
+        step = 1 << j
+        sv = jnp.pad(v[..., step:], pad_cfg + [(0, step)], constant_values=neg)
+        si = jnp.pad(i[..., step:], pad_cfg + [(0, step)])
+        take = v >= sv  # earlier position wins ties
+        v = jnp.where(take, v, sv)
+        i = jnp.where(take, i, si)
+
+    # window [c, c+w-1] (padded coords) = span at c combined with span at
+    # c + w - span; the left (earlier) span wins ties
+    lv, li = v[..., :n], i[..., :n]
+    off = w - span
+    rv, ri = v[..., off : off + n], i[..., off : off + n]
+    take_l = lv >= rv
+    return jnp.where(take_l, lv, rv), jnp.where(take_l, li, ri)
+
+
 def _windowed_argmax(rows: jnp.ndarray, centers: jnp.ndarray, half: int, fft: int):
     """First-max argmax of rows[..., :] in [center-half, center+half] clamped.
 
@@ -180,20 +225,24 @@ def compact_detection(
     cand_idx = jnp.concatenate([top_idx, sep_idx], axis=1)
     cand_count = jnp.sum(masked >= start_level, axis=-1).astype(jnp.int32)
 
-    # history vote: rows k-10..k (global) = hist[k : k+half_depth]
+    # history vote: rows k-10..k (global) = hist[k : k+half_depth]. The
+    # windowed argmax is precomputed at EVERY center via sliding_argmax
+    # (shifted slices only); the per-(frame, row, candidate) result is then a
+    # tiny flat gather. The per-candidate window gather this replaces was the
+    # hottest op in the whole scan step (~245 ms/32-band block).
     hist = jnp.concatenate([prev_tail, raw], axis=0)  # [half_depth-1+F, fft]
     half_depth = prev_tail.shape[0] + 1
     row_sel = (
         jnp.arange(f, dtype=jnp.int32)[:, None] + jnp.arange(half_depth, dtype=jnp.int32)[None, :]
     )  # [F, H]
-    rows = hist[row_sel]  # [F, H, fft]
-
-    def per_frame(rows_f, cand_f):
-        vals, idxs = _windowed_argmax(rows_f, cand_f, half, fft)  # [H, K]
-        valid = vals >= start_level
-        return _mode_median_ties(idxs.T, valid.T, cand_f)  # [K]
-
-    cand_best = jax.vmap(per_frame)(rows, cand_idx)
+    hist_val, hist_idx = sliding_argmax(hist, half)  # [H-1+F, fft]
+    lin = row_sel[:, :, None] * fft + cand_idx[:, None, :]  # [F, H, K]
+    vals = hist_val.reshape(-1)[lin]
+    idxs = hist_idx.reshape(-1)[lin]
+    votes_valid = vals >= start_level
+    cand_best = _mode_median_ties(
+        jnp.swapaxes(idxs, 1, 2), jnp.swapaxes(votes_valid, 1, 2), cand_idx
+    )  # [F, K]
 
     key_val, key_idx = jax.vmap(lambda row: _windowed_argmax(row, keys, half, fft))(avg)
 

@@ -38,6 +38,29 @@ def test_windowed_argmax_matches_host():
         assert np.isclose(v, row[expect])
 
 
+def test_sliding_argmax_matches_host():
+    """vHGW sliding argmax == get_max_index at EVERY center, incl. edges and
+    ties (duplicate values must resolve to the lowest index)."""
+    from rtl_sdr_scanner_tpu.ops.detect import sliding_argmax
+
+    rng = np.random.default_rng(7)
+    for n, half in [(256, 10), (300, 51), (97, 3), (64, 31)]:
+        # quantized values force frequent exact ties
+        row = (rng.integers(0, 6, size=n)).astype(np.float32)
+        vals, idxs = sliding_argmax(jnp.asarray(row), half)
+        for c in range(n):
+            expect = get_max_index(row, c, 2 * half + 1)
+            assert int(idxs[c]) == expect, (n, half, c, int(idxs[c]), expect)
+            assert np.isclose(float(vals[c]), row[expect])
+
+    # batched form
+    rows = rng.standard_normal((3, 128)).astype(np.float32)
+    vals, idxs = sliding_argmax(jnp.asarray(rows), 5)
+    for r in range(3):
+        for c in range(128):
+            assert int(idxs[r, c]) == get_max_index(rows[r], c, 11)
+
+
 def test_mode_median_ties_matches_host():
     rng = np.random.default_rng(1)
     for _ in range(200):
