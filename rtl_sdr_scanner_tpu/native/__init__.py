@@ -18,7 +18,7 @@ from typing import Optional
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "codec.cpp")
+_SRCS = [os.path.join(_DIR, "codec.cpp"), os.path.join(_DIR, "ring.cpp")]
 _LIB_PATH = os.path.join(_DIR, "libsdrnative.so")
 
 _lib: Optional[ctypes.CDLL] = None
@@ -27,7 +27,7 @@ _lib: Optional[ctypes.CDLL] = None
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _LIB_PATH],
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", *_SRCS, "-o", _LIB_PATH],
             check=True,
             capture_output=True,
             timeout=120,
@@ -41,7 +41,9 @@ def _load() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC):
+    if not os.path.exists(_LIB_PATH) or any(
+        os.path.getmtime(_LIB_PATH) < os.path.getmtime(src) for src in _SRCS
+    ):
         if not _build():
             return None
     try:
@@ -57,6 +59,19 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_size_t,
         ctypes.c_float,
     ]
+    lib.sdr_ring_create.argtypes = [ctypes.c_size_t]
+    lib.sdr_ring_create.restype = ctypes.c_void_p
+    lib.sdr_ring_destroy.argtypes = [ctypes.c_void_p]
+    lib.sdr_ring_capacity.argtypes = [ctypes.c_void_p]
+    lib.sdr_ring_capacity.restype = ctypes.c_size_t
+    lib.sdr_ring_available.argtypes = [ctypes.c_void_p]
+    lib.sdr_ring_available.restype = ctypes.c_size_t
+    lib.sdr_ring_dropped.argtypes = [ctypes.c_void_p]
+    lib.sdr_ring_dropped.restype = ctypes.c_ulonglong
+    lib.sdr_ring_write.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t]
+    lib.sdr_ring_write.restype = ctypes.c_size_t
+    lib.sdr_ring_read.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_size_t]
+    lib.sdr_ring_read.restype = ctypes.c_size_t
     _lib = lib
     return lib
 
@@ -101,6 +116,83 @@ def cu8_to_complex64(raw: np.ndarray) -> np.ndarray:
     else:
         flat = (raw.astype(np.float32) - 127.5) / 127.5
     return flat.view(np.complex64)
+
+
+class IngestRing:
+    """Lock-free SPSC byte ring (native/ring.cpp) for live IQ ingest.
+
+    One hardware reader thread writes (never blocks; overflow drops and
+    counts), one feeder thread reads. Replaces the GR ring buffers that
+    decouple the reference's SdrSource from its flowgraph. Falls back to a
+    locked deque-free numpy ring when the native library is unavailable.
+    """
+
+    def __init__(self, capacity_bytes: int):
+        self._lib = _load()
+        if self._lib is not None:
+            self._h = self._lib.sdr_ring_create(capacity_bytes)
+            if not self._h:  # pragma: no cover - allocation failure
+                self._lib = None
+        if self._lib is None:  # pure-python fallback (locked)
+            import threading
+
+            self._buf = bytearray()
+            self._cap = capacity_bytes
+            self._lock = threading.Lock()
+            self._dropped = 0
+
+    @property
+    def capacity(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.sdr_ring_capacity(self._h))
+        return self._cap
+
+    @property
+    def available(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.sdr_ring_available(self._h))
+        with self._lock:
+            return len(self._buf)
+
+    @property
+    def dropped_bytes(self) -> int:
+        if self._lib is not None:
+            return int(self._lib.sdr_ring_dropped(self._h))
+        with self._lock:
+            return self._dropped
+
+    def write(self, data: np.ndarray) -> int:
+        """Store what fits, return the byte count stored. The remainder is
+        counted in dropped_bytes (write-once producers = true drop stats;
+        producers that retry partial writes should ignore the counter)."""
+        data = np.ascontiguousarray(data)
+        n = data.nbytes
+        if self._lib is not None:
+            return int(self._lib.sdr_ring_write(self._h, data.ctypes.data, n))
+        with self._lock:
+            take = min(n, self._cap - len(self._buf))
+            self._buf += data.tobytes()[:take]
+            self._dropped += n - take
+            return take
+
+    def read(self, n_bytes: int, dtype=np.int8) -> np.ndarray:
+        """Read up to n_bytes; returns a (possibly shorter) 1-D array."""
+        if self._lib is not None:
+            out = np.empty(n_bytes, dtype=np.uint8)
+            got = int(self._lib.sdr_ring_read(self._h, out.ctypes.data, n_bytes))
+            return out[:got].view(dtype)
+        with self._lock:
+            got = min(n_bytes, len(self._buf))
+            chunk = bytes(self._buf[:got])
+            del self._buf[:got]
+        return np.frombuffer(chunk, dtype=dtype)
+
+    def __del__(self):  # pragma: no cover - interpreter teardown
+        lib = getattr(self, "_lib", None)
+        h = getattr(self, "_h", None)
+        if lib is not None and h:
+            lib.sdr_ring_destroy(h)
+            self._h = None
 
 
 def complex64_to_cs8(iq: np.ndarray, scale: float = 127.0) -> np.ndarray:

@@ -187,6 +187,10 @@ class Scanner:
 
     def start(self) -> None:
         """Live mode: worker thread like the reference scanner thread."""
+        if hasattr(self._source, "start_streaming"):
+            # hardware sources decouple USB reads from the device feeder
+            # through the native ingest ring (native/ring.cpp)
+            self._source.start_streaming()
         self._running = True
 
         def worker():

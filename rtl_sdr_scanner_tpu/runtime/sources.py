@@ -183,7 +183,57 @@ class SoapySource:
             self._device.deactivateStream(self._stream)
             self._device.activateStream(self._stream)
 
+    def start_streaming(self) -> None:  # pragma: no cover - hardware path
+        """Decouple the USB read loop from the device feeder via the native
+        SPSC ingest ring (native/ring.cpp): a reader thread readStream()s into
+        the ring at line rate; read_block() consumes from it. Overflow drops
+        newest data with a counter instead of back-pressuring the hardware
+        (the GR scheduler gave the reference this decoupling for free)."""
+        import threading
+
+        from rtl_sdr_scanner_tpu.native import IngestRing
+
+        if getattr(self, "_reader", None) is not None:
+            return
+        # ~2 s of CF32 at line rate
+        self._ring = IngestRing(int(self._rate * 8 * 2))
+        self._streaming = True
+
+        def reader():
+            buf = np.empty(65536, dtype=np.complex64)
+            while self._streaming:
+                sr = self._device.readStream(self._stream, [buf], len(buf), timeoutUs=500000)
+                if sr.ret > 0:
+                    self._ring.write(buf[: sr.ret])
+                elif sr.ret not in (self._soapy.SOAPY_SDR_TIMEOUT,):
+                    logger.error(LABEL, "readStream error: {}", sr.ret)
+                    self._streaming = False
+
+        self._reader = threading.Thread(target=reader, name="sdr-reader", daemon=True)
+        self._reader.start()
+
+    def stop_streaming(self) -> None:  # pragma: no cover - hardware path
+        self._streaming = False
+        if getattr(self, "_reader", None) is not None:
+            self._reader.join(timeout=2)
+            self._reader = None
+
     def read_block(self, n_samples: int) -> Optional[np.ndarray]:  # pragma: no cover
+        if getattr(self, "_reader", None) is not None:
+            need = n_samples * 8  # complex64 bytes
+            chunks = []
+            while need > 0:
+                if not self._streaming:
+                    raise RuntimeError("reader thread stopped on stream error")
+                got = self._ring.read(need, dtype=np.uint8)
+                if got.size:
+                    chunks.append(got)
+                    need -= got.size
+                else:
+                    time.sleep(0.005)
+            out = np.concatenate(chunks).view(np.complex64)
+            self._samples_read += n_samples
+            return out
         out = np.empty(n_samples, dtype=np.complex64)
         got = 0
         while got < n_samples:
@@ -200,6 +250,7 @@ class SoapySource:
         return None
 
     def close(self) -> None:  # pragma: no cover - hardware path
+        self.stop_streaming()
         self._device.deactivateStream(self._stream)
         self._device.closeStream(self._stream)
 
