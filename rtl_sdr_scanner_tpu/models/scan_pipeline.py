@@ -9,8 +9,10 @@ One jitted program replaces the reference's entire GR detection flowgraph
 Structure (TPU-first):
 - All frames of a block are FFT'd/PSD'd as ONE batched transform (MXU/VPU
   friendly, no per-frame dispatch).
-- The sequential carries (noise max-hold, averager ring) run in a lax.scan
-  over frames -- cheap elementwise ops only.
+- The sequential carries (noise max-hold, averager ring) are folded into
+  whole-block forms (ops/noise.py noise_block, ops/averager.py
+  averager_block): readiness is time-monotone and the boxcar is a cumsum,
+  so no per-frame lax.scan is needed.
 - Outputs per block: raw power rows (power - noise floor), time+frequency
   smoothed rows, and the spectrogram bin accumulation. The host detector
   (runtime/transmission_tracker.py) consumes these at the reference's
@@ -32,8 +34,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from rtl_sdr_scanner_tpu.constants import DEFAULT, Tunables
-from rtl_sdr_scanner_tpu.ops.averager import AveragerState, averager_step, init_averager_state
-from rtl_sdr_scanner_tpu.ops.noise import NoiseState, init_noise_state, noise_step
+from rtl_sdr_scanner_tpu.ops.averager import AveragerState, averager_block, init_averager_state
+from rtl_sdr_scanner_tpu.ops.noise import NoiseState, init_noise_state, noise_block
 from rtl_sdr_scanner_tpu.ops.psd import dequantize_cs8, psd_frames
 from rtl_sdr_scanner_tpu.ops.smooth import sliding_average
 from rtl_sdr_scanner_tpu.ops.spectrogram import accumulate_frames, spectrogram_output_size
@@ -144,13 +146,9 @@ def _scan_block(
     int8 cs8; now_ms: [frames] i32 relative milliseconds."""
     power = _frames_power(cfg, iq)
 
-    def body(carry: ScanState, inp):
-        p, t = inp
-        noise_state, raw = noise_step(carry.noise, p, t, cfg.noise_learning_ms)
-        avg_state, mean = averager_step(carry.averager, raw)
-        return ScanState(noise_state, avg_state), (raw, mean)
-
-    state, (raw_rows, mean_rows) = jax.lax.scan(body, state, (power, now_ms))
+    noise_state, raw_rows = noise_block(state.noise, power, now_ms, cfg.noise_learning_ms)
+    avg_state, mean_rows = averager_block(state.averager, raw_rows)
+    state = ScanState(noise_state, avg_state)
     avg_rows = sliding_average(mean_rows, cfg.grouping_x)
     spectro = accumulate_frames(power, cfg.spectro_size)
     return state, ScanOutputs(
@@ -227,13 +225,9 @@ def _compact_scan_block(
     half_depth = cfg.grouping_y - cfg.grouping_y // 2
     prev_tail = ordered_history(state.averager)[-(half_depth - 1) :]
 
-    def body(carry: ScanState, inp):
-        p, t = inp
-        noise_state, raw = noise_step(carry.noise, p, t, cfg.noise_learning_ms)
-        avg_state, mean = averager_step(carry.averager, raw)
-        return ScanState(noise_state, avg_state), (raw, mean)
-
-    state, (raw_rows, mean_rows) = jax.lax.scan(body, state, (power, now_ms))
+    noise_state, raw_rows = noise_block(state.noise, power, now_ms, cfg.noise_learning_ms)
+    avg_state, mean_rows = averager_block(state.averager, raw_rows)
+    state = ScanState(noise_state, avg_state)
     avg_rows = sliding_average(mean_rows, cfg.grouping_x)
 
     compact = compact_detection(

@@ -53,6 +53,40 @@ def averager_step(
     return AveragerState(ring=ring, total=total, pos=pos, frames=frames), mean
 
 
+def averager_block(
+    state: AveragerState, rows: jnp.ndarray
+) -> Tuple[AveragerState, jnp.ndarray]:
+    """All frames of a block at once: boxcar means via one cumsum over the
+    (history ++ block) rows instead of a per-frame lax.scan.
+
+    rows: [F, fft] -> means [F, fft] (NO_DATA sentinel while warming).
+
+    Numerics: each mean is an exact depth-row sum (cumsum difference) --
+    the sequential form carries a running total (total - old + new) whose
+    f32 rounding drifts, so results can differ by ~1 ulp; detection operates
+    on >=dB-scale margins. The returned ring is stored oldest-first with
+    pos=0 (an equivalent state representation; ordered_history is identity).
+    """
+    depth, fft = state.ring.shape
+    f = rows.shape[0]
+    all_rows = jnp.concatenate([ordered_history(state), rows], axis=0)  # [depth+F, fft]
+    cs = jnp.concatenate(
+        [jnp.zeros((1, fft), jnp.float32), jnp.cumsum(all_rows, axis=0)], axis=0
+    )
+    sums = cs[depth + 1 : depth + 1 + f] - cs[1 : 1 + f]  # [F, fft]
+    frames = jnp.minimum(state.frames + 1 + jnp.arange(f, dtype=jnp.int32), depth)
+    means = jnp.where(
+        (frames >= depth)[:, None], sums / depth, jnp.float32(NO_DATA)
+    )
+    new_state = AveragerState(
+        ring=all_rows[f : f + depth],
+        total=sums[-1],
+        pos=jnp.asarray(0, dtype=jnp.int32),
+        frames=frames[-1],
+    )
+    return new_state, means
+
+
 def ordered_history(state: AveragerState) -> jnp.ndarray:
     """Ring rows oldest-first, matching the reference deque layout
     (averager.cpp data())."""

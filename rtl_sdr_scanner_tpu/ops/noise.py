@@ -58,3 +58,34 @@ def noise_step(
     ready = was_ready | (state.start_ms + learning_time_ms <= now_ms)
     out = jnp.where(was_ready, power - threshold, jnp.full_like(power, NO_DATA))
     return NoiseState(threshold=threshold, ready=ready, start_ms=state.start_ms), out
+
+
+def noise_block(
+    state: NoiseState, power: jnp.ndarray, now_ms: jnp.ndarray, learning_time_ms: int
+) -> Tuple[NoiseState, jnp.ndarray]:
+    """All frames of a block at once -- BIT-IDENTICAL to folding noise_step
+    over the frames (max is order-independent), without the per-frame
+    lax.scan iteration overhead.
+
+    power: [F, fft]; now_ms: [F] i32 nondecreasing (block frame times).
+
+    The readiness recurrence only depends on time, and frames are
+    nondecreasing in time, so the learning frames form a prefix: the frozen
+    threshold every ready frame sees is max(threshold_in, learning-prefix
+    max-hold), one masked max over the block.
+    """
+    cond = state.start_ms + learning_time_ms <= now_ms  # [F], monotone
+    # readiness ENTERING frame k = ready_in | cond_{k-1}
+    was_ready = state.ready | jnp.concatenate(
+        [jnp.zeros((1,), dtype=bool), cond[:-1]]
+    )  # [F]
+    learning = ~was_ready
+    held = jnp.max(
+        jnp.where(learning[:, None], power, -jnp.inf), axis=0, initial=-jnp.inf
+    )
+    threshold = jnp.maximum(state.threshold, jnp.where(jnp.any(learning), held, -jnp.inf))
+    out = jnp.where(
+        was_ready[:, None], power - threshold[None, :], jnp.float32(NO_DATA)
+    )
+    ready = state.ready | cond[-1]
+    return NoiseState(threshold=threshold, ready=ready, start_ms=state.start_ms), out
