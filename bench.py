@@ -58,9 +58,11 @@ def bench_bands(n_bands: int, seconds: float, host_fed: bool):
     ddc_cfg = DdcConfig.create(RATE, 16000, SLOTS_PER_BAND, block)
     group_size = int(np.ceil(16000 / cfg.step_hz))
 
-    # ONE dispatch per block: scan + K-slot DDC fused in a single jit,
-    # vmapped over bands (models/fused_step.py).
-    step = make_banded_fused_step(cfg, ddc_cfg, group_size, 64)
+    # ONE dispatch per block: scan + K-slot DDC fused in a single jit; the
+    # DDC runs banded with the Pallas FIR kernel (models/fused_step.py).
+    step = make_banded_fused_step(
+        cfg, ddc_cfg, group_size, 64, use_pallas_fir=jax.default_backend() == "tpu"
+    )
 
     rng = np.random.default_rng(0)
     host_blocks = [
@@ -70,12 +72,17 @@ def bench_bands(n_bands: int, seconds: float, host_fed: bool):
     ring = [jax.device_put(b) for b in host_blocks]
     jax.block_until_ready(ring)
 
+    from rtl_sdr_scanner_tpu.models.ddc_pipeline import fold_banded
+
     frame_ms = cfg.frame_interval_ms
     stack = lambda a: jnp.broadcast_to(a, (n_bands,) + a.shape)
     scan_state = jax.tree.map(stack, init_scan_state(cfg, 0))
-    ddc_state = jax.tree.map(stack, ddc_init(ddc_cfg))
-    tables = jax.tree.map(
-        stack, make_tables(ddc_cfg, rng.integers(-RATE // 2, RATE // 2, size=SLOTS_PER_BAND))
+    ddc_state = fold_banded(jax.tree.map(stack, ddc_init(ddc_cfg)))
+    tables = fold_banded(
+        jax.tree.map(
+            stack,
+            make_tables(ddc_cfg, rng.integers(-RATE // 2, RATE // 2, size=SLOTS_PER_BAND)),
+        )
     )
     keys = jnp.asarray(np.full(16, -1, dtype=np.int32))
     valid = jnp.asarray(np.ones(cfg.fft_size, dtype=bool))

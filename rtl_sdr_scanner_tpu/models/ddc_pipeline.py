@@ -104,6 +104,41 @@ def _ddc_block(
     return state, out
 
 
+def _ddc_block_banded(
+    cfg: DdcConfig,
+    n_bands: int,
+    use_pallas_fir: bool,
+    state: DdcState,  # leaves folded to leading dim n_bands * num_slots
+    iq: jnp.ndarray,  # [NB, block_samples(,2)]
+    tables: NcoTables,  # leaves folded to leading dim n_bands * num_slots
+) -> Tuple[DdcState, jnp.ndarray]:
+    """All-bands DDC block: one kernel per stage over NB*K*2 batch rows
+    (enables the Pallas FIR path; see ops/ddc.py ddc_chunk_banded).
+    Returns int8 [NB, K, out_per_block, 2]."""
+    nb = iq.shape[0]
+    if iq.dtype == jnp.int8:
+        chunks = iq.reshape(nb, cfg.num_chunks, cfg.chunk, 2)
+    else:
+        chunks = iq.reshape(nb, cfg.num_chunks, cfg.chunk)
+    chunks = jnp.moveaxis(chunks, 1, 0)  # [num_chunks, NB, ...]
+
+    def body(carry, chunk_iq):
+        new_state, out = ddc_ops.ddc_chunk_banded(
+            chunk_iq, carry, tables, cfg.plans, nb, use_pallas_fir
+        )
+        return new_state, out
+
+    state, outs = jax.lax.scan(body, state, chunks)
+    # [num_chunks, NB, K, chunk_out, 2] -> [NB, K, block_out, 2]
+    out = jnp.moveaxis(outs, 0, 2).reshape(nb, cfg.num_slots, -1, 2)
+    return state, out
+
+
+def fold_banded(tree):
+    """Stack-of-bands pytree [NB, K, ...] -> banded-DDC layout [NB*K, ...]."""
+    return jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), tree)
+
+
 # StagePlan holds numpy kernels (unhashable), so cache on the scalar geometry.
 _STEP_CACHE: dict = {}
 

@@ -83,13 +83,24 @@ def make_fused_step(
 
 
 def make_banded_fused_step(
-    scan_cfg: ScanConfig, ddc_cfg: DdcConfig, group_size: int, top_k: int = 64
+    scan_cfg: ScanConfig,
+    ddc_cfg: DdcConfig,
+    group_size: int,
+    top_k: int = 64,
+    use_pallas_fir: bool = False,
 ):
-    """vmapped-over-bands fused step (benchmark / concurrent-band runtime).
+    """Fused step over ALL bands (benchmark / concurrent-band runtime).
 
-    Band axis on: scan_state, ddc_state, iq, now_ms, tables. Shared: keys,
+    Scan is vmapped per band; the DDC runs banded -- bands folded into the
+    batch rows of one kernel per resampler stage (models/ddc_pipeline.py
+    _ddc_block_banded), which enables the Pallas FIR path on TPU.
+
+    Band axis on: scan_state, iq, now_ms. FOLDED [NB*K, ...] leaves
+    (ddc_pipeline.fold_banded) on: ddc_state, tables. Shared: keys,
     valid_mask, start_level.
     """
+    from rtl_sdr_scanner_tpu.models.ddc_pipeline import _ddc_block_banded
+
     key = (
         "banded",
         scan_cfg,
@@ -100,13 +111,24 @@ def make_banded_fused_step(
         ddc_cfg.num_chunks,
         group_size,
         top_k,
+        use_pallas_fir,
     )
     if key not in _STEP_CACHE:
-        fn = functools.partial(_fused_block, scan_cfg, ddc_cfg, group_size, top_k)
-        _STEP_CACHE[key] = jax.jit(
-            jax.vmap(fn, in_axes=(0, 0, 0, 0, None, None, None, 0)),
-            donate_argnums=(0, 1),
+        scan_fn = jax.vmap(
+            functools.partial(_compact_scan_block, scan_cfg, group_size, top_k),
+            in_axes=(0, 0, 0, None, None, None),
         )
+
+        def banded(scan_state, ddc_state, iq, now_ms, keys, valid_mask, start_level, tables):
+            scan_state, outs = scan_fn(scan_state, iq, now_ms, keys, valid_mask, start_level)
+            nb = iq.shape[0]
+            flat = iq.reshape(nb, -1, 2) if iq.dtype == jnp.int8 else iq.reshape(nb, -1)
+            ddc_state, rec = _ddc_block_banded(
+                ddc_cfg, nb, use_pallas_fir, ddc_state, flat, tables
+            )
+            return scan_state, ddc_state, FusedOutputs(packed=outs.packed, recording=rec)
+
+        _STEP_CACHE[key] = jax.jit(banded, donate_argnums=(0, 1))
     return _STEP_CACHE[key]
 
 

@@ -323,6 +323,59 @@ def ddc_chunk(
     return DdcState(phase=new_phase, tails=tuple(new_tails)), out
 
 
+def ddc_chunk_banded(
+    iq: jnp.ndarray,
+    state: DdcState,
+    tables: NcoTables,
+    plans: Sequence[StagePlan],
+    n_bands: int,
+    use_pallas_fir: bool = False,
+) -> Tuple[DdcState, jnp.ndarray]:
+    """ddc_chunk over ALL bands in one call (no vmap): iq [NB, chunk(,2)],
+    state/tables pre-folded to leading dim NB*K.
+
+    Folding bands into the batch row dimension lets the resampler stages run
+    as ONE kernel over [NB*K*2, n] rows -- required by the Pallas FIR kernel
+    (ops/pallas/fir_kernel.py), and one conv instead of NB for the XLA form.
+    """
+    nb, chunk = iq.shape[0], iq.shape[1]
+    k_total = state.phase.shape[0]
+    k = k_total // nb
+
+    ph_re = jnp.cos(state.phase).reshape(nb, k, 1)
+    ph_im = jnp.sin(state.phase).reshape(nb, k, 1)
+    c_re = ph_re * tables.coarse_re.reshape(nb, k, -1) - ph_im * tables.coarse_im.reshape(nb, k, -1)
+    c_im = ph_re * tables.coarse_im.reshape(nb, k, -1) + ph_im * tables.coarse_re.reshape(nb, k, -1)
+    f_re = tables.fine_re.reshape(nb, k, 1, -1)
+    f_im = tables.fine_im.reshape(nb, k, 1, -1)
+    rot_re = (c_re[..., None] * f_re - c_im[..., None] * f_im).reshape(nb, k, chunk)
+    rot_im = (c_re[..., None] * f_im + c_im[..., None] * f_re).reshape(nb, k, chunk)
+    if iq.dtype == jnp.int8:
+        x_re = (iq[..., 0].astype(jnp.float32) * (1.0 / 127.5))[:, None, :]
+        x_im = (iq[..., 1].astype(jnp.float32) * (1.0 / 127.5))[:, None, :]
+    else:
+        x_re = jnp.real(iq)[:, None, :]
+        x_im = jnp.imag(iq)[:, None, :]
+    y = jnp.stack(
+        [x_re * rot_re - x_im * rot_im, x_re * rot_im + x_im * rot_re], axis=2
+    ).reshape(nb * k, 2, chunk)
+
+    new_tails = []
+    for plan, tail in zip(plans, state.tails):
+        if use_pallas_fir:
+            from rtl_sdr_scanner_tpu.ops.pallas.fir_kernel import stage_apply_pallas
+
+            y, new_tail = stage_apply_pallas(y, tail, plan)
+        else:
+            y, new_tail = _stage_apply(y, tail, plan)
+        new_tails.append(new_tail)
+
+    out = jnp.clip(jnp.round(jnp.moveaxis(y, 1, 2) * 127.0), -128, 127).astype(jnp.int8)
+    new_phase = jnp.mod(state.phase + tables.step, 2.0 * jnp.pi)
+    out = out.reshape(nb, k, -1, 2)
+    return DdcState(phase=new_phase, tails=tuple(new_tails)), out
+
+
 def make_ddc_step(plans: Sequence[StagePlan], num_chunks: int):
     """Jittable block processor: scan ddc_chunk over num_chunks chunks.
 

@@ -97,6 +97,8 @@ def test_fused_step_matches_separate_steps():
     ddc_step = jax.jit(jax.vmap(functools.partial(_ddc_block, ddc_cfg), in_axes=(0, 0, 0)))
     fused_step = make_banded_fused_step(cfg, ddc_cfg, group_size, 16)
 
+    from rtl_sdr_scanner_tpu.models.ddc_pipeline import fold_banded
+
     rng = np.random.default_rng(1)
     stack = lambda a: jnp.broadcast_to(a, (n_bands,) + a.shape)
     tables = jax.tree.map(stack, make_tables(ddc_cfg, np.array([30000, -20000])))
@@ -107,7 +109,8 @@ def test_fused_step_matches_separate_steps():
     ss_a = jax.tree.map(stack, init_scan_state(cfg, 0))
     ds_a = jax.tree.map(stack, ddc_init(ddc_cfg))
     ss_b = jax.tree.map(stack, init_scan_state(cfg, 0))
-    ds_b = jax.tree.map(stack, ddc_init(ddc_cfg))
+    ds_b = fold_banded(jax.tree.map(stack, ddc_init(ddc_cfg)))
+    tables_folded = fold_banded(tables)
 
     for b in range(3):
         iq = jnp.asarray(
@@ -118,6 +121,8 @@ def test_fused_step_matches_separate_steps():
         )
         ss_a, outs = scan_step(ss_a, iq, now, keys, valid, level)
         ds_a, rec = ddc_step(ds_a, iq.reshape(n_bands, -1, 2), tables)
-        ss_b, ds_b, fused = fused_step(ss_b, ds_b, iq, now, keys, valid, level, tables)
+        ss_b, ds_b, fused = fused_step(
+            ss_b, ds_b, iq, now, keys, valid, level, tables_folded
+        )
         np.testing.assert_array_equal(np.asarray(fused.packed), np.asarray(outs.packed))
         np.testing.assert_array_equal(np.asarray(fused.recording), np.asarray(rec))
