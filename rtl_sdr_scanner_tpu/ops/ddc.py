@@ -88,6 +88,44 @@ class StagePlan(NamedTuple):
     # conv contracts over 1 element at a time and crawls on the MXU)
     poly_kernel: np.ndarray  # [1, M, R] f32, kernel[0, r, q] = h_rev[q*M + r]
     poly_rows: int  # R
+    # lane-aligned chunked-matmul form (the default TPU path, _stage_apply):
+    # input viewed as [.., n_chunks, C] with C a multiple of lcm(M, 128);
+    # Z = chunks @ chunk_w gives every (output-phase b, chunk-lag d) partial,
+    # and y[P*a + b] = sum_d Z[a + d, b*D + d]. One MXU contraction with a
+    # full 128-deep K axis replaces the 1-output-channel conv (~300x under
+    # peak on v5e) and the alignment-fragile Pallas DMA layout.
+    chunk_c: int  # C (0 = form unavailable, fall back to the conv)
+    chunk_d: int  # D = number of chunk lags
+    chunk_w: np.ndarray  # [C, (C//M) * D] f32
+
+
+def _plan_chunk_matmul(m: int, r_rows: int, h_rev: np.ndarray):
+    """Pick chunk width C and build the [C, P*D] matrix for the matmul form.
+
+    C must be a multiple of lcm(M, 128) so chunk boundaries are lane-aligned
+    AND hit whole polyphase rows. Larger C shrinks the Z intermediate
+    (bytes/input = 4*P*D/C) but pads more taps (FLOPs/input = 2*P*D); aim for
+    P*D around 64-128 lanes, which balances both on v5e.
+    """
+    base = m * 128 // math.gcd(m, 128)  # lcm
+    best = None
+    c = base
+    while c <= 8192:
+        p = c // m
+        d = -(-((p - 1) * m + r_rows * m) // c)  # ceil(max window extent / C)
+        n = p * d
+        best = (c, p, d, n)
+        if n >= 64 or c * 2 > 8192:
+            break
+        c *= 2
+    if best is None or best[3] > 512:
+        return 0, 0, np.zeros((0, 0), dtype=np.float32)
+    c, p, d, n = best
+    w_full = np.zeros((p, d * c))
+    for b in range(p):
+        w_full[b, b * m : b * m + r_rows * m] = h_rev
+    w2 = w_full.reshape(p, d, c).transpose(2, 0, 1).reshape(c, p * d)
+    return c, d, w2.astype(np.float32)
 
 
 def plan_stage(interp: int, decim: int) -> StagePlan:
@@ -105,7 +143,12 @@ def plan_stage(interp: int, decim: int) -> StagePlan:
     for q in range(r_rows):
         for rr in range(m):
             poly[0, rr, q] = h_rev[q * m + rr]
-    return StagePlan(interp, decim, ntaps, tail_len, kernel, poly, r_rows)
+    chunk_c, chunk_d, chunk_w = (
+        _plan_chunk_matmul(m, r_rows, h_rev) if interp == 1 else (0, 0, np.zeros((0, 0), np.float32))
+    )
+    return StagePlan(
+        interp, decim, ntaps, tail_len, kernel, poly, r_rows, chunk_c, chunk_d, chunk_w
+    )
 
 
 def plan_chain(sample_rate: int, bandwidth: int, threshold: int = 125) -> List[StagePlan]:
@@ -232,15 +275,37 @@ def _stage_apply(
     """One resampler stage on [K, 2, n] f32 -> [K, 2, n*L//M]; carries tail.
 
     Causal zero-stuffed FIR: y[m] = sum_j h[j] * up(x)[m*M - j]. Decimation
-    stages (L==1, the common case) run in polyphase-as-channels form: input
-    rows of M samples become M channels, so the conv contracts over
-    M * poly_rows elements and lands on the MXU. Interpolating stages use the
-    dilated/strided conv form.
+    stages (L==1, the common case) run in the chunked-matmul form: the input
+    is viewed as lane-aligned chunks of C samples (C a multiple of
+    lcm(M, 128)), one [.., C] @ [C, P*D] MXU contraction produces every
+    (output-phase, chunk-lag) partial sum, and the diagonal combine
+    y[P*a+b] = sum_d Z[a+d, b*D+d] is D static strided slices. Interpolating
+    stages use the dilated/strided conv form.
     """
     k, two, n = x.shape
     full = jnp.concatenate([tail, x], axis=-1)
     new_tail = full[..., -plan.tail_len :]
     out_len = n * plan.interp // plan.decim
+
+    if plan.interp == 1 and plan.chunk_c > 0:
+        m = plan.decim
+        c, d = plan.chunk_c, plan.chunk_d
+        p = c // m
+        a_tiles = -(-out_len // p)  # ceil: output rounded up to whole chunks
+        n_chunks = a_tiles + d - 1
+        lhs = full.reshape(k * two, -1)
+        lhs = jnp.pad(lhs, ((0, 0), (0, n_chunks * c - lhs.shape[-1])))
+        z = jax.lax.dot_general(
+            lhs.reshape(k * two, n_chunks, c),
+            jnp.asarray(plan.chunk_w),
+            dimension_numbers=(((2,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [K2, n_chunks, P*D]
+        acc = z[:, 0:a_tiles, 0::d]
+        for dd in range(1, d):
+            acc = acc + z[:, dd : dd + a_tiles, dd::d]
+        out = acc.reshape(k * two, a_tiles * p)[:, :out_len]
+        return out.reshape(k, two, out_len), new_tail
 
     if plan.interp == 1:
         m, r_rows = plan.decim, plan.poly_rows
@@ -279,8 +344,8 @@ def ddc_chunk(
 ) -> Tuple[DdcState, jnp.ndarray]:
     """Process one chunk of IQ through K rotator+resampler slots.
 
-    iq: [chunk] complex64 or [chunk, 2] int8 cs8 (dequantized here, fused
-        with the rotation -- no full-rate complex64 HBM round trip); the
+    iq: [chunk] complex64, or [chunk, 2] int8 cs8 / f32 pairs (combined here,
+        fused with the rotation -- no full-rate complex64 HBM round trip); the
         shared full-rate source feeds all slots, as in the reference where
         every recorder chain taps the same SdrSource.
     returns int8 interleaved output [K, out_len, 2].
@@ -305,6 +370,9 @@ def ddc_chunk(
     if iq.dtype == jnp.int8:
         x_re = (iq[:, 0].astype(jnp.float32) * (1.0 / 127.5))[None, :]
         x_im = (iq[:, 1].astype(jnp.float32) * (1.0 / 127.5))[None, :]
+    elif iq.ndim == 2:  # f32 (re, im) pairs
+        x_re = iq[:, 0][None, :]
+        x_im = iq[:, 1][None, :]
     else:
         x_re = jnp.real(iq)[None, :]
         x_im = jnp.imag(iq)[None, :]
@@ -353,6 +421,9 @@ def ddc_chunk_banded(
     if iq.dtype == jnp.int8:
         x_re = (iq[..., 0].astype(jnp.float32) * (1.0 / 127.5))[:, None, :]
         x_im = (iq[..., 1].astype(jnp.float32) * (1.0 / 127.5))[:, None, :]
+    elif iq.ndim == 3:  # f32 (re, im) pairs
+        x_re = iq[..., 0][:, None, :]
+        x_im = iq[..., 1][:, None, :]
     else:
         x_re = jnp.real(iq)[:, None, :]
         x_im = jnp.imag(iq)[:, None, :]

@@ -99,7 +99,11 @@ def stage_apply_pallas(x: jnp.ndarray, tail: jnp.ndarray, plan, interpret: bool 
     """Drop-in for ops.ddc._stage_apply on decimation-only stages.
 
     x: [K, 2, n] f32; tail: [K, 2, tail_len] -> ([K, 2, n//M], new_tail).
-    Falls back to the XLA conv form when the geometry does not tile.
+    Falls back to ops.ddc._stage_apply (chunked-matmul form) when the
+    geometry does not tile. NOTE (measured on v5e hardware): Mosaic requires
+    HBM DMA slices to be lane-aligned on the minor dim, so this kernel is
+    only legal when M % 128 == 0 -- interpret mode does not enforce this.
+    The chunked-matmul form in ops/ddc.py is the production TPU path.
     """
     from rtl_sdr_scanner_tpu.ops.ddc import _stage_apply
 
@@ -107,7 +111,7 @@ def stage_apply_pallas(x: jnp.ndarray, tail: jnp.ndarray, plan, interpret: bool 
     m, r_rows = plan.decim, plan.poly_rows
     out_len = n * plan.interp // plan.decim
     to = _pick_to(out_len)
-    if plan.interp != 1 or to == 0 or (k * two) % TB != 0:
+    if plan.interp != 1 or to == 0 or (k * two) % TB != 0 or (m % 128 != 0 and not interpret):
         return _stage_apply(x, tail, plan)
 
     need = (out_len + r_rows - 1) * m
