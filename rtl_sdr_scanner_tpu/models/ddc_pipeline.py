@@ -87,9 +87,9 @@ def make_tables(cfg: DdcConfig, shifts: np.ndarray) -> NcoTables:
 def _ddc_block(
     cfg: DdcConfig, state: DdcState, iq: jnp.ndarray, tables: NcoTables
 ) -> Tuple[DdcState, jnp.ndarray]:
-    """iq: [block_samples] complex64 or [block_samples, 2] int8 cs8
-    -> int8 out [num_slots, out_per_block, 2]."""
-    if iq.dtype == jnp.int8:
+    """iq: [block_samples] complex64, or [block_samples, 2] int8 cs8 / f32
+    pairs -> int8 out [num_slots, out_per_block, 2]."""
+    if iq.ndim == 2:
         chunks = iq.reshape(cfg.num_chunks, cfg.chunk, 2)
     else:
         chunks = iq.reshape(cfg.num_chunks, cfg.chunk)
@@ -116,7 +116,7 @@ def _ddc_block_banded(
     (enables the Pallas FIR path; see ops/ddc.py ddc_chunk_banded).
     Returns int8 [NB, K, out_per_block, 2]."""
     nb = iq.shape[0]
-    if iq.dtype == jnp.int8:
+    if iq.ndim == 3:
         chunks = iq.reshape(nb, cfg.num_chunks, cfg.chunk, 2)
     else:
         chunks = iq.reshape(nb, cfg.num_chunks, cfg.chunk)

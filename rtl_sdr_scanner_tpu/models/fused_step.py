@@ -51,7 +51,7 @@ def _fused_block(
     scan_state, outs = _compact_scan_block(
         scan_cfg, group_size, top_k, scan_state, iq, now_ms, keys, valid_mask, start_level
     )
-    flat = iq.reshape(-1, 2) if iq.dtype == jnp.int8 else iq.reshape(-1)
+    flat = iq.reshape(-1, 2) if iq.ndim == 3 else iq.reshape(-1)
     ddc_state, rec = _ddc_block(ddc_cfg, ddc_state, flat, tables)
     return scan_state, ddc_state, FusedOutputs(packed=outs.packed, recording=rec)
 
@@ -122,7 +122,7 @@ def make_banded_fused_step(
         def banded(scan_state, ddc_state, iq, now_ms, keys, valid_mask, start_level, tables):
             scan_state, outs = scan_fn(scan_state, iq, now_ms, keys, valid_mask, start_level)
             nb = iq.shape[0]
-            flat = iq.reshape(nb, -1, 2) if iq.dtype == jnp.int8 else iq.reshape(nb, -1)
+            flat = iq.reshape(nb, -1, 2) if iq.ndim == 4 else iq.reshape(nb, -1)
             ddc_state, rec = _ddc_block_banded(
                 ddc_cfg, nb, use_pallas_fir, ddc_state, flat, tables
             )

@@ -36,7 +36,7 @@ import numpy as np
 from rtl_sdr_scanner_tpu.constants import DEFAULT, Tunables
 from rtl_sdr_scanner_tpu.ops.averager import AveragerState, averager_block, init_averager_state
 from rtl_sdr_scanner_tpu.ops.noise import NoiseState, init_noise_state, noise_block
-from rtl_sdr_scanner_tpu.ops.psd import dequantize_cs8, psd_frames
+from rtl_sdr_scanner_tpu.ops.psd import dequantize_cs8, pairs_to_complex, psd_frames
 from rtl_sdr_scanner_tpu.ops.smooth import sliding_average
 from rtl_sdr_scanner_tpu.ops.spectrogram import accumulate_frames, spectrogram_output_size
 from rtl_sdr_scanner_tpu.utils.radio_utils import get_fft
@@ -126,7 +126,8 @@ def init_scan_state(cfg: ScanConfig, start_ms: int = 0) -> ScanState:
 
 
 def _frames_power(cfg: ScanConfig, iq: jnp.ndarray) -> jnp.ndarray:
-    """[frames, fft*decim] c64 or [frames, fft*decim, 2] int8 -> PSD rows."""
+    """[frames, fft*decim] c64, or [frames, fft*decim, 2] int8 cs8 / f32
+    pairs (complex64 never crosses the host<->device boundary) -> PSD rows."""
     if iq.dtype == jnp.int8 and cfg.use_pallas_psd:
         from rtl_sdr_scanner_tpu.ops.pallas.psd_kernel import psd_frames_int8_pallas
 
@@ -135,6 +136,8 @@ def _frames_power(cfg: ScanConfig, iq: jnp.ndarray) -> jnp.ndarray:
         )
     if iq.dtype == jnp.int8:
         iq = dequantize_cs8(iq)
+    elif iq.ndim == 3:
+        iq = pairs_to_complex(iq)
     frames = iq[:, : cfg.fft_size]  # Decimator: first fft of each group
     return psd_frames(frames, float(cfg.sample_rate))
 

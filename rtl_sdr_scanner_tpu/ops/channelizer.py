@@ -119,6 +119,20 @@ def channelize_block(
     return ChannelizerState(tail=new_tail), channels
 
 
+def channelize_block_pairs(
+    plan: ChannelizerPlan, state: ChannelizerState, x_pairs: jnp.ndarray
+) -> Tuple[ChannelizerState, jnp.ndarray]:
+    """channelize_block with f32 (re, im) pairs at both boundaries.
+
+    x_pairs: [n, 2] f32 -> channels [B, n // B, 2] f32. complex64 never
+    crosses the host<->device boundary (unimplemented on the axon tunnel and
+    never needed: the downstream scan/DDC pipelines consume pairs natively).
+    """
+    x = jax.lax.complex(x_pairs[:, 0], x_pairs[:, 1])
+    state, channels = channelize_block(plan, state, x)
+    return state, jnp.stack([jnp.real(channels), jnp.imag(channels)], axis=-1)
+
+
 def channel_center_offsets(plan: ChannelizerPlan, sample_rate: int) -> np.ndarray:
     """Per-channel frequency offset from the wideband center (Hz), wrapped."""
     b = plan.num_channels

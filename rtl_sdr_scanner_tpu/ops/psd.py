@@ -36,6 +36,17 @@ def dequantize_cs8(iq_int8: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.complex(x[..., 0], x[..., 1])
 
 
+def pairs_to_complex(iq_f32: jnp.ndarray) -> jnp.ndarray:
+    """float32 interleaved IQ [..., 2] -> complex64.
+
+    The host never transfers complex64: cf32 captures are uploaded as their
+    f32 (re, im) pair view (free reinterpret on the host) and combined on
+    device. (Also required on the axon tunnel, where complex64 h2d/d2h is
+    unimplemented.)
+    """
+    return jax.lax.complex(iq_f32[..., 0], iq_f32[..., 1])
+
+
 def frame_blocks(iq: jnp.ndarray, fft_size: int, decimator_factor: int) -> jnp.ndarray:
     """[n*fft*decim] complex -> [n, fft]: first fft samples of each group.
 

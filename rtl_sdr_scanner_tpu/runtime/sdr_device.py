@@ -17,6 +17,7 @@ from __future__ import annotations
 import math
 from typing import Dict, List, Optional, Set, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -261,12 +262,23 @@ class SdrDevice:
         assert self._scan_state is not None, "set_frequency_range first"
         group = cfg.fft_size * cfg.decimator_factor
 
+        is_device = isinstance(iq, jax.Array) and not isinstance(iq, np.ndarray)
         if iq.dtype == np.int8:
-            framed = jnp.asarray(iq.reshape(cfg.frames_per_block, group, 2))
+            framed = (iq if is_device else jnp.asarray(iq)).reshape(
+                cfg.frames_per_block, group, 2
+            )
             iq_dev = None
         else:
-            iq_dev = jnp.asarray(iq)
-            framed = iq_dev.reshape(cfg.frames_per_block, group)
+            # complex64 never crosses the host->device boundary: upload the
+            # free f32 (re, im) pair view; device code recombines in-jit.
+            # Device-resident f32 pairs (e.g. the wideband channelizer's
+            # output) pass straight through.
+            if is_device:
+                iq_dev = iq.reshape(-1, 2)
+            else:
+                pairs = np.ascontiguousarray(iq, dtype=np.complex64).view(np.float32)
+                iq_dev = jnp.asarray(pairs.reshape(-1, 2))
+            framed = iq_dev.reshape(cfg.frames_per_block, group, 2)
 
         frame_ms = cfg.frame_interval_ms
         now_arr = (
@@ -366,7 +378,8 @@ class SdrDevice:
             and self._raw_iq_sink.recording
             and not handle["iq_is_int8"]
         ):
-            self._raw_iq_sink.write(np.asarray(handle["iq_dev"]).astype(np.complex64))
+            pairs = np.ascontiguousarray(np.asarray(handle["iq_dev"]), dtype=np.float32)
+            self._raw_iq_sink.write(pairs.reshape(-1).view(np.complex64))
 
         # merge per-frame flush flags into the block-level reconcile
         merged = [(shift, flush_any.get(shift, False)) for shift, _ in notification]
@@ -529,8 +542,8 @@ class SdrDevice:
         rec.pending = []
 
     def _run_ddc(self, iq_dev, block_start_ms: int) -> None:
-        if iq_dev.dtype == jnp.int8:
-            iq_dev = iq_dev.reshape(-1, 2)  # dequantized inside ddc_chunk
+        if iq_dev.dtype == jnp.int8 or iq_dev.dtype == jnp.float32:
+            iq_dev = iq_dev.reshape(-1, 2)  # combined/dequantized inside ddc_chunk
         else:
             iq_dev = iq_dev.reshape(-1)
         self._ddc_state, out = self._ddc_step(self._ddc_state, iq_dev, self._ddc_tables)

@@ -26,7 +26,7 @@ import numpy as np
 
 from rtl_sdr_scanner_tpu.ops.channelizer import (
     channel_center_offsets,
-    channelize_block,
+    channelize_block_pairs,
     init_channelizer_state,
     plan_channelizer,
 )
@@ -121,15 +121,16 @@ class WidebandScanner:
             return False
         now_ms = self._source.stream_time_ms()
         start_ms = int(now_ms - self._wide_block * 1000 / self._source.sample_rate)
-        self._chan_state, channels = channelize_block(
-            self._plan, self._chan_state, jnp.asarray(block)
+        pairs = np.ascontiguousarray(block, dtype=np.complex64).view(np.float32)
+        self._chan_state, channels = channelize_block_pairs(
+            self._plan, self._chan_state, jnp.asarray(pairs.reshape(-1, 2))
         )
-        # per-band sessions consume their channel stream; submit all bands
-        # first so the device pipelines overlap, then finish
+        # per-band sessions consume their channel stream ON DEVICE (no host
+        # round trip); submit all bands first so the device pipelines
+        # overlap, then finish
         handles = []
         for ch, session in enumerate(self._sessions):
-            sub = np.asarray(channels[ch])
-            handles.append(session.submit_block(sub, start_ms))
+            handles.append(session.submit_block(channels[ch], start_ms))
         for session, handle in zip(self._sessions, handles):
             session.finish_block(handle)
         return True
