@@ -89,43 +89,57 @@ class StagePlan(NamedTuple):
     poly_kernel: np.ndarray  # [1, M, R] f32, kernel[0, r, q] = h_rev[q*M + r]
     poly_rows: int  # R
     # lane-aligned chunked-matmul form (the default TPU path, _stage_apply):
-    # input viewed as [.., n_chunks, C] with C a multiple of lcm(M, 128);
-    # Z = chunks @ chunk_w gives every (output-phase b, chunk-lag d) partial,
-    # and y[P*a + b] = sum_d Z[a + d, b*D + d]. One MXU contraction with a
-    # full 128-deep K axis replaces the 1-output-channel conv (~300x under
-    # peak on v5e) and the alignment-fragile Pallas DMA layout.
+    # the block input sits at a 128-aligned offset Q >= tail_len inside a
+    # zero-padded buffer viewed as [.., n_chunks, C] (C = M * P, a multiple
+    # of 128); the stream phase S = Q - tail_len is absorbed into the weight
+    # matrix, so NO misaligned copy of the full-rate signal ever happens.
+    # Z = chunks @ chunk_w gives every (output-phase b, chunk-lag d) partial
+    # with column order d*P + b, and y[P*a + b] = sum_d Z[a + d, d*P + b]
+    # -- the combine is D contiguous P-lane slices (a lane-STRIDED slice here
+    # cost ~100 ms/block on v5e). One MXU contraction with a full C-deep K
+    # axis replaces the 1-output-channel conv (~300x under peak).
     chunk_c: int  # C (0 = form unavailable, fall back to the conv)
     chunk_d: int  # D = number of chunk lags
-    chunk_w: np.ndarray  # [C, (C//M) * D] f32
+    chunk_q: int  # Q = aligned input offset (multiple of 128, >= tail_len)
+    chunk_w: np.ndarray  # [C, D * (C//M)] f32
 
 
-def _plan_chunk_matmul(m: int, r_rows: int, h_rev: np.ndarray):
-    """Pick chunk width C and build the [C, P*D] matrix for the matmul form.
+def _plan_chunk_matmul(m: int, r_rows: int, h_rev: np.ndarray, tail_len: int):
+    """Pick chunk width C = M*P and build the [C, D*P] matrix.
 
-    C must be a multiple of lcm(M, 128) so chunk boundaries are lane-aligned
-    AND hit whole polyphase rows. Larger C shrinks the Z intermediate
-    (bytes/input = 4*P*D/C) but pads more taps (FLOPs/input = 2*P*D); aim for
-    P*D around 64-128 lanes, which balances both on v5e.
+    C must be a multiple of 128 (lane tiles) and of M (whole output phases
+    per chunk). P is the largest power of two <= 128 that satisfies both with
+    C <= 8192; FLOPs/input = 2*P*D, so P is kept at the smallest size that
+    still holds D at its floor of 2 (D = ceil(max window extent / C)).
     """
-    base = m * 128 // math.gcd(m, 128)  # lcm
+    cands = []
+    p = 128
+    while p >= 8:
+        c = m * p
+        if c <= 8192 and c % 128 == 0:
+            q = -(-tail_len // 128) * 128  # aligned input offset
+            s = q - tail_len  # phase shift absorbed into the weights
+            d = -(-(s + (p - 1) * m + r_rows * m) // c)
+            d = max(d, 1 + -(-q // c))  # buffer must cover the offset: (D-1)*C >= Q
+            cands.append((c, p, d, q, s))
+        p //= 2
+    # layout first (wide contiguous combine slices = large P), FLOPs second
+    # (2*P*D per input sample): the largest P whose P*D fits the cap.
     best = None
-    c = base
-    while c <= 8192:
-        p = c // m
-        d = -(-((p - 1) * m + r_rows * m) // c)  # ceil(max window extent / C)
-        n = p * d
-        best = (c, p, d, n)
-        if n >= 64 or c * 2 > 8192:
+    for cap in (128, 256, 512):
+        fitting = [t for t in cands if t[1] * t[2] <= cap]
+        if fitting:
+            best = max(fitting, key=lambda t: t[1])
             break
-        c *= 2
-    if best is None or best[3] > 512:
-        return 0, 0, np.zeros((0, 0), dtype=np.float32)
-    c, p, d, n = best
+    if best is None:
+        return 0, 0, 0, np.zeros((0, 0), dtype=np.float32)
+    c, p, d, q, s = best
     w_full = np.zeros((p, d * c))
     for b in range(p):
-        w_full[b, b * m : b * m + r_rows * m] = h_rev
-    w2 = w_full.reshape(p, d, c).transpose(2, 0, 1).reshape(c, p * d)
-    return c, d, w2.astype(np.float32)
+        w_full[b, s + b * m : s + b * m + r_rows * m] = h_rev
+    # column order d*P + b: the combine slices z[..., d*P:(d+1)*P] contiguously
+    w2 = w_full.reshape(p, d, c).transpose(2, 1, 0).reshape(c, d * p)
+    return c, d, q, w2.astype(np.float32)
 
 
 def plan_stage(interp: int, decim: int) -> StagePlan:
@@ -143,11 +157,13 @@ def plan_stage(interp: int, decim: int) -> StagePlan:
     for q in range(r_rows):
         for rr in range(m):
             poly[0, rr, q] = h_rev[q * m + rr]
-    chunk_c, chunk_d, chunk_w = (
-        _plan_chunk_matmul(m, r_rows, h_rev) if interp == 1 else (0, 0, np.zeros((0, 0), np.float32))
+    chunk_c, chunk_d, chunk_q, chunk_w = (
+        _plan_chunk_matmul(m, r_rows, h_rev, tail_len)
+        if interp == 1
+        else (0, 0, 0, np.zeros((0, 0), np.float32))
     )
     return StagePlan(
-        interp, decim, ntaps, tail_len, kernel, poly, r_rows, chunk_c, chunk_d, chunk_w
+        interp, decim, ntaps, tail_len, kernel, poly, r_rows, chunk_c, chunk_d, chunk_q, chunk_w
     )
 
 
@@ -289,21 +305,31 @@ def _stage_apply(
 
     if plan.interp == 1 and plan.chunk_c > 0:
         m = plan.decim
-        c, d = plan.chunk_c, plan.chunk_d
+        c, d, q = plan.chunk_c, plan.chunk_d, plan.chunk_q
         p = c // m
         a_tiles = -(-out_len // p)  # ceil: output rounded up to whole chunks
         n_chunks = a_tiles + d - 1
-        lhs = full.reshape(k * two, -1)
-        lhs = jnp.pad(lhs, ((0, 0), (0, n_chunks * c - lhs.shape[-1])))
+        # lhs layout: [zeros(Q - tail_len), tail, x, zeros(post)] -- x lands at
+        # the 128-aligned offset Q, so the only misaligned write is the tiny
+        # tail; the stream phase S = Q - tail_len lives in chunk_w.
+        lhs = jnp.concatenate(
+            [
+                jnp.zeros((k, two, q - plan.tail_len), x.dtype),
+                tail,
+                x,
+                jnp.zeros((k, two, n_chunks * c - q - n), x.dtype),
+            ],
+            axis=-1,
+        ).reshape(k * two, n_chunks, c)
         z = jax.lax.dot_general(
-            lhs.reshape(k * two, n_chunks, c),
+            lhs,
             jnp.asarray(plan.chunk_w),
             dimension_numbers=(((2,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [K2, n_chunks, P*D]
-        acc = z[:, 0:a_tiles, 0::d]
+        )  # [K2, n_chunks, D*P], column order d*P + b
+        acc = z[:, 0:a_tiles, 0:p]
         for dd in range(1, d):
-            acc = acc + z[:, dd : dd + a_tiles, dd::d]
+            acc = acc + z[:, dd : dd + a_tiles, dd * p : (dd + 1) * p]
         out = acc.reshape(k * two, a_tiles * p)[:, :out_len]
         return out.reshape(k, two, out_len), new_tail
 
