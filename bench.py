@@ -49,7 +49,11 @@ def bench_bands(n_bands: int, seconds: float, host_fed: bool):
     from rtl_sdr_scanner_tpu.models.ddc_pipeline import init_state as ddc_init
     from rtl_sdr_scanner_tpu.models.ddc_pipeline import make_tables
     from rtl_sdr_scanner_tpu.models.fused_step import make_banded_fused_step
-    from rtl_sdr_scanner_tpu.models.scan_pipeline import ScanConfig, init_scan_state
+    from rtl_sdr_scanner_tpu.models.scan_pipeline import (
+        ScanConfig,
+        init_scan_state,
+        init_spectro_acc,
+    )
 
     cfg = ScanConfig.create(RATE, frames_per_block=FRAMES)
     assert cfg.fft_size == 131072 and cfg.decimator_factor == 3
@@ -77,6 +81,7 @@ def bench_bands(n_bands: int, seconds: float, host_fed: bool):
     frame_ms = cfg.frame_interval_ms
     stack = lambda a: jnp.broadcast_to(a, (n_bands,) + a.shape)
     scan_state = jax.tree.map(stack, init_scan_state(cfg, 0))
+    spectro_acc = stack(init_spectro_acc(cfg))
     ddc_state = fold_banded(jax.tree.map(stack, ddc_init(ddc_cfg)))
     tables = fold_banded(
         jax.tree.map(
@@ -87,8 +92,9 @@ def bench_bands(n_bands: int, seconds: float, host_fed: bool):
     keys = jnp.asarray(np.full(16, -1, dtype=np.int32))
     valid = jnp.asarray(np.ones(cfg.fft_size, dtype=bool))
     start_level = jnp.float32(8.0)
+    keep = jnp.float32(1.0)
 
-    def dispatch(b: int, scan_state, ddc_state):
+    def dispatch(b: int, scan_state, spectro_acc, ddc_state):
         if host_fed:
             iq_int8 = jax.device_put(host_blocks[b % RING])
         else:
@@ -96,11 +102,14 @@ def bench_bands(n_bands: int, seconds: float, host_fed: bool):
         now = ((b * FRAMES + 1 + np.arange(FRAMES)) * frame_ms).astype(np.int32)
         now_b = jnp.broadcast_to(jnp.asarray(now), (n_bands, FRAMES))
         return step(
-            scan_state, ddc_state, iq_int8, now_b, keys, valid, start_level, tables
+            scan_state, spectro_acc, ddc_state, iq_int8, now_b, keys, valid,
+            start_level, keep, tables,
         )
 
     for b in range(WARMUP):
-        scan_state, ddc_state, outs = dispatch(b, scan_state, ddc_state)
+        scan_state, spectro_acc, ddc_state, outs = dispatch(
+            b, scan_state, spectro_acc, ddc_state
+        )
         _ = (np.asarray(outs.packed), np.asarray(outs.recording))
 
     # Timed loop keeps ONE block in flight: fetch block b-1's outputs while
@@ -109,8 +118,8 @@ def bench_bands(n_bands: int, seconds: float, host_fed: bool):
     blocks_done = 0
     pending = None
     while True:
-        scan_state, ddc_state, outs = dispatch(
-            WARMUP + blocks_done, scan_state, ddc_state
+        scan_state, spectro_acc, ddc_state, outs = dispatch(
+            WARMUP + blocks_done, scan_state, spectro_acc, ddc_state
         )
         if pending is not None:
             _ = (np.asarray(pending.packed), np.asarray(pending.recording))

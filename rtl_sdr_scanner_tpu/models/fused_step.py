@@ -40,20 +40,23 @@ def _fused_block(
     group_size: int,
     top_k: int,
     scan_state: ScanState,
+    spectro_acc: jnp.ndarray,  # [spectro_size] f32 device accumulator
     ddc_state: DdcState,
     iq: jnp.ndarray,  # [frames, fft*decim, 2] int8 cs8 (or [frames, fft*decim] c64)
     now_ms: jnp.ndarray,  # [frames] i32
     keys: jnp.ndarray,  # [S] i32
     valid_mask: jnp.ndarray,  # [fft] bool
     start_level: jnp.ndarray,  # scalar f32
+    spectro_keep: jnp.ndarray,  # scalar f32
     tables: NcoTables,
-) -> Tuple[ScanState, DdcState, FusedOutputs]:
-    scan_state, outs = _compact_scan_block(
-        scan_cfg, group_size, top_k, scan_state, iq, now_ms, keys, valid_mask, start_level
+) -> Tuple[ScanState, jnp.ndarray, DdcState, FusedOutputs]:
+    scan_state, spectro_acc, outs = _compact_scan_block(
+        scan_cfg, group_size, top_k, scan_state, spectro_acc, iq, now_ms,
+        keys, valid_mask, start_level, spectro_keep
     )
     flat = iq.reshape(-1, 2) if iq.ndim == 3 else iq.reshape(-1)
     ddc_state, rec = _ddc_block(ddc_cfg, ddc_state, flat, tables)
-    return scan_state, ddc_state, FusedOutputs(packed=outs.packed, recording=rec)
+    return scan_state, spectro_acc, ddc_state, FusedOutputs(packed=outs.packed, recording=rec)
 
 
 _STEP_CACHE: dict = {}
@@ -77,7 +80,7 @@ def make_fused_step(
     if key not in _STEP_CACHE:
         _STEP_CACHE[key] = jax.jit(
             functools.partial(_fused_block, scan_cfg, ddc_cfg, group_size, top_k),
-            donate_argnums=(0, 1),
+            donate_argnums=(0, 1, 2),
         )
     return _STEP_CACHE[key]
 
@@ -116,19 +119,27 @@ def make_banded_fused_step(
     if key not in _STEP_CACHE:
         scan_fn = jax.vmap(
             functools.partial(_compact_scan_block, scan_cfg, group_size, top_k),
-            in_axes=(0, 0, 0, None, None, None),
+            in_axes=(0, 0, 0, 0, None, None, None, None),
         )
 
-        def banded(scan_state, ddc_state, iq, now_ms, keys, valid_mask, start_level, tables):
-            scan_state, outs = scan_fn(scan_state, iq, now_ms, keys, valid_mask, start_level)
+        def banded(
+            scan_state, spectro_acc, ddc_state, iq, now_ms, keys, valid_mask,
+            start_level, spectro_keep, tables,
+        ):
+            scan_state, spectro_acc, outs = scan_fn(
+                scan_state, spectro_acc, iq, now_ms, keys, valid_mask,
+                start_level, spectro_keep,
+            )
             nb = iq.shape[0]
             flat = iq.reshape(nb, -1, 2) if iq.ndim == 4 else iq.reshape(nb, -1)
             ddc_state, rec = _ddc_block_banded(
                 ddc_cfg, nb, use_pallas_fir, ddc_state, flat, tables
             )
-            return scan_state, ddc_state, FusedOutputs(packed=outs.packed, recording=rec)
+            return scan_state, spectro_acc, ddc_state, FusedOutputs(
+                packed=outs.packed, recording=rec
+            )
 
-        _STEP_CACHE[key] = jax.jit(banded, donate_argnums=(0, 1))
+        _STEP_CACHE[key] = jax.jit(banded, donate_argnums=(0, 1, 2))
     return _STEP_CACHE[key]
 
 

@@ -174,19 +174,27 @@ def make_scan_step(cfg: ScanConfig):
 
 class CompactScanOutputs(NamedTuple):
     compact: "CompactOutputs"  # noqa: F821
-    spectro_sum: jnp.ndarray  # [spectro_size]
     noise_ready: jnp.ndarray  # scalar bool AFTER this block
     # everything above packed into ONE f32 vector so the host needs a single
     # device->host transfer per block (tunnel/PCIe round trips dominate at
     # high block rates). Layout: [frames * (3K + 1 + 2S)] frame rows
     # (cand_idx, cand_val, cand_best, cand_count, key_val, key_idx), then
-    # spectro_sum, then noise_ready. All index values are < 2^24, exact in f32.
+    # noise_ready. All index values are < 2^24, exact in f32.
+    #
+    # The spectrogram bin sum is NOT shipped per block: the reference only
+    # egresses spectrograms at 1 Hz (spectrogram.cpp:62-75), so compact mode
+    # accumulates it in a device-resident carry (spectro_acc) that the host
+    # fetches at the send cadence -- per-block egress would dominate the
+    # device->host link at high block rates (it was ~3x the detector data).
     packed: jnp.ndarray
 
 
-def unpack_compact(
-    packed: "np.ndarray", frames: int, top_k: int, key_slots: int, spectro_size: int
-):
+def init_spectro_acc(cfg: ScanConfig) -> jnp.ndarray:
+    """Device-side spectrogram accumulator (sum over frames of bin means)."""
+    return jnp.zeros((cfg.spectro_size,), dtype=jnp.float32)
+
+
+def unpack_compact(packed: "np.ndarray", frames: int, top_k: int, key_slots: int):
     """Host-side decode of CompactScanOutputs.packed (single fetch).
 
     top_k is the plain-top-K setting; the candidate arrays additionally carry
@@ -203,9 +211,8 @@ def unpack_compact(
     cand_count = body[:, 3 * n_cand].astype(np.int32)
     key_val = body[:, 3 * n_cand + 1 : 3 * n_cand + 1 + key_slots]
     key_idx = body[:, 3 * n_cand + 1 + key_slots :].astype(np.int32)
-    spectro = packed[frames * row : frames * row + spectro_size]
-    noise_ready = bool(packed[frames * row + spectro_size] > 0.5)
-    return cand_idx, cand_val, cand_best, cand_count, key_val, key_idx, spectro, noise_ready
+    noise_ready = bool(packed[frames * row] > 0.5)
+    return cand_idx, cand_val, cand_best, cand_count, key_val, key_idx, noise_ready
 
 
 def _compact_scan_block(
@@ -213,12 +220,14 @@ def _compact_scan_block(
     group_size: int,
     top_k: int,
     state: ScanState,
+    spectro_acc: jnp.ndarray,  # [spectro_size] f32 device-resident accumulator
     iq: jnp.ndarray,
     now_ms: jnp.ndarray,
     keys: jnp.ndarray,  # [S] i32 tracked keys (block start)
     valid_mask: jnp.ndarray,  # [fft] bool
     start_level: jnp.ndarray,  # scalar f32
-) -> Tuple[ScanState, CompactScanOutputs]:
+    spectro_keep: jnp.ndarray,  # scalar f32 1.0=accumulate, 0.0=reset first
+) -> Tuple[ScanState, jnp.ndarray, CompactScanOutputs]:
     from rtl_sdr_scanner_tpu.ops.averager import ordered_history
     from rtl_sdr_scanner_tpu.ops.detect import compact_detection
 
@@ -243,7 +252,7 @@ def _compact_scan_block(
         group_size,
         top_k,
     )
-    spectro = accumulate_frames(power, cfg.spectro_size)
+    spectro_acc = spectro_acc * spectro_keep + accumulate_frames(power, cfg.spectro_size)
     f32 = lambda a: a.astype(jnp.float32)
     body = jnp.concatenate(
         [
@@ -256,10 +265,9 @@ def _compact_scan_block(
         ],
         axis=1,
     ).reshape(-1)
-    packed = jnp.concatenate([body, spectro, f32(state.noise.ready)[None]])
-    return state, CompactScanOutputs(
+    packed = jnp.concatenate([body, f32(state.noise.ready)[None]])
+    return state, spectro_acc, CompactScanOutputs(
         compact=compact,
-        spectro_sum=spectro,
         noise_ready=state.noise.ready,
         packed=packed,
     )
@@ -267,9 +275,10 @@ def _compact_scan_block(
 
 @functools.lru_cache(maxsize=16)
 def make_compact_scan_step(cfg: ScanConfig, group_size: int, top_k: int = 64):
-    """Jitted compact block step: (state, iq, now, keys, valid_mask,
-    start_level) -> (state, CompactScanOutputs)."""
+    """Jitted compact block step: (state, spectro_acc, iq, now, keys,
+    valid_mask, start_level, spectro_keep)
+    -> (state, spectro_acc, CompactScanOutputs)."""
     return jax.jit(
         functools.partial(_compact_scan_block, cfg, group_size, top_k),
-        donate_argnums=(0,),
+        donate_argnums=(0, 1),
     )

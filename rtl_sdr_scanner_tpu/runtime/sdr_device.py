@@ -158,6 +158,11 @@ class SdrDevice:
         self._ignored_transmissions: Set[int] = set()
 
         self._spectro_containers: Dict[int, SpectroContainer] = {}
+        # compact mode accumulates the spectrogram bin sum ON DEVICE
+        # (scan_pipeline.init_spectro_acc); the host fetches it only at the
+        # 1 Hz send cadence / on retune instead of every block
+        self._spectro_acc = None
+        self._spectro_pending_frames = 0
         # manual recordings (extension; the reference stubs sdr/manual_recording,
         # remote_controller.cpp:45): absolute frequency -> remaining duration or
         # expiry stream-ms once armed
@@ -218,6 +223,10 @@ class SdrDevice:
             self._power_sink.stop()
         if self._raw_iq_sink is not None:
             self._raw_iq_sink.stop()
+        # fold the device spectrogram accumulator into the OLD center's
+        # container before the center changes (per-center containers persist
+        # across hops, spectrogram.cpp:29-43)
+        self._drain_spectro_acc(now_ms)
         self._frequency_range = frequency_range
         center = self.center_frequency
         if self._power_sink is not None:
@@ -289,15 +298,22 @@ class SdrDevice:
         if self._compact:
             if self._valid_mask_dev is None:
                 self._valid_mask_dev = jnp.asarray(self._tracker._compute_valid_mask())
+            if self._spectro_acc is None:
+                from rtl_sdr_scanner_tpu.models.scan_pipeline import init_spectro_acc
+
+                self._spectro_acc = init_spectro_acc(cfg)
             slot_keys = self._tracker.current_keys(self._tunables.detection_key_slots)
-            self._scan_state, outs = self._scan_step(
+            self._scan_state, self._spectro_acc, outs = self._scan_step(
                 self._scan_state,
+                self._spectro_acc,
                 framed,
                 jnp.asarray(now_arr),
                 jnp.asarray(slot_keys),
                 self._valid_mask_dev,
                 jnp.float32(self._device.start_level),
+                jnp.float32(1.0),
             )
+            self._spectro_pending_frames += cfg.frames_per_block
         else:
             self._scan_state, outs = self._scan_step(
                 self._scan_state, framed, jnp.asarray(now_arr)
@@ -334,14 +350,12 @@ class SdrDevice:
                 cand_count,
                 key_val,
                 key_idx,
-                spectro_np,
                 _noise_ready,
             ) = unpack_compact(
                 np.asarray(outs.packed),
                 cfg.frames_per_block,
                 self._tunables.detection_top_k,
                 self._tunables.detection_key_slots,
-                cfg.spectro_size,
             )
             for k in range(cfg.frames_per_block):
                 notification = self._tracker.process_compact(
@@ -358,7 +372,6 @@ class SdrDevice:
                     flush_any[shift] = flush_any.get(shift, False) or flush
                     first_seen_frame.setdefault(shift, k)
         else:
-            spectro_np = None
             raw = np.asarray(outs.raw)
             avg = np.asarray(outs.avg)
             if self._power_sink is not None and self._power_sink.recording:
@@ -395,9 +408,10 @@ class SdrDevice:
         if self.is_recording:
             self._run_ddc(handle["iq_dev"], block_start_ms)
 
-        if spectro_np is None:
-            spectro_np = np.asarray(outs.spectro_sum)
-        self._accumulate_spectrogram(spectro_np, int(now_arr[-1]))
+        if self._compact:
+            self._maybe_send_spectrogram(int(now_arr[-1]))
+        else:
+            self._accumulate_spectrogram(np.asarray(outs.spectro_sum), int(now_arr[-1]))
         return notification
 
     # -- manual recordings (extension over remote_controller.cpp:45 stub) ---
@@ -602,12 +616,48 @@ class SdrDevice:
 
     # -- spectrogram egress (spectrogram.cpp:62-75) ------------------------
 
-    def _accumulate_spectrogram(self, spectro_sum: np.ndarray, now_ms: int) -> None:
+    def _get_spectro_container(self, now_ms: int) -> SpectroContainer:
         center = self.center_frequency
         container = self._spectro_containers.get(center)
         if container is None:
             container = SpectroContainer(self.scan_cfg.spectro_size, now_ms)
             self._spectro_containers[center] = container
+        return container
+
+    def _drain_spectro_acc(self, now_ms: int) -> None:
+        """Fetch the device spectrogram accumulator into the current center's
+        host container (compact mode). One ~64 KB transfer, not per-block."""
+        if self._spectro_acc is None or self._spectro_pending_frames == 0:
+            return
+        container = self._get_spectro_container(now_ms)
+        container.sum += np.asarray(self._spectro_acc, dtype=np.float64)
+        container.counter += self._spectro_pending_frames
+        self._spectro_pending_frames = 0
+        from rtl_sdr_scanner_tpu.models.scan_pipeline import init_spectro_acc
+
+        self._spectro_acc = init_spectro_acc(self.scan_cfg)
+
+    def _maybe_send_spectrogram(self, now_ms: int) -> None:
+        """Compact-mode egress: fetch + send only at the reference's cadence
+        (spectrogram.cpp:62-75)."""
+        container = self._get_spectro_container(now_ms)
+        if container.last_send_ms + self._tunables.spectrogram_send_interval_ms < now_ms:
+            self._drain_spectro_acc(now_ms)
+            if container.counter:
+                bins = np.trunc(container.sum / container.counter)
+                bins = np.clip(bins, -128, 127).astype(np.int8)
+                self._data_controller.push_spectrogram(
+                    self._session_epoch_ms + now_ms,
+                    self.center_frequency,
+                    self._device.sample_rate,
+                    bins,
+                )
+                container.sum[:] = 0.0
+                container.counter = 0
+            container.last_send_ms = now_ms
+
+    def _accumulate_spectrogram(self, spectro_sum: np.ndarray, now_ms: int) -> None:
+        container = self._get_spectro_container(now_ms)
         container.sum += spectro_sum
         container.counter += self.scan_cfg.frames_per_block
         if container.last_send_ms + self._tunables.spectrogram_send_interval_ms < now_ms:
@@ -616,7 +666,7 @@ class SdrDevice:
             bins = np.clip(bins, -128, 127).astype(np.int8)
             self._data_controller.push_spectrogram(
                 self._session_epoch_ms + now_ms,
-                center,
+                self.center_frequency,
                 self._device.sample_rate,
                 bins,
             )

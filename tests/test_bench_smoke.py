@@ -26,6 +26,7 @@ def test_bench_bands_smoke(monkeypatch, tmp_path):
         ScanConfig,
         _compact_scan_block,
         init_scan_state,
+        init_spectro_acc,
     )
 
     cfg = ScanConfig.create(256000, frames_per_block=10)
@@ -37,7 +38,7 @@ def test_bench_bands_smoke(monkeypatch, tmp_path):
     scan_step = jax.jit(
         jax.vmap(
             functools.partial(_compact_scan_block, cfg, group_size, 16),
-            in_axes=(0, 0, 0, None, None, None),
+            in_axes=(0, 0, 0, 0, None, None, None, None),
         )
     )
     ddc_step = jax.jit(jax.vmap(functools.partial(_ddc_block, ddc_cfg), in_axes=(0, 0, 0)))
@@ -56,8 +57,10 @@ def test_bench_bands_smoke(monkeypatch, tmp_path):
 
     from rtl_sdr_scanner_tpu.ops.detect import K_SEP
 
-    ss, outs = scan_step(ss, iq, now, keys, valid, jnp.float32(8.0))
+    sp = stack(init_spectro_acc(cfg))
+    ss, sp, outs = scan_step(ss, sp, iq, now, keys, valid, jnp.float32(8.0), jnp.float32(1.0))
     assert outs.compact.cand_idx.shape == (n_bands, 10, 16 + K_SEP)
+    assert sp.shape == (n_bands, cfg.spectro_size)
 
     ds, rec = ddc_step(ds, iq.reshape(n_bands, -1, 2), tables)
     assert rec.shape[0] == n_bands and rec.shape[1] == 2  # bands, slots
@@ -80,6 +83,7 @@ def test_fused_step_matches_separate_steps():
         ScanConfig,
         _compact_scan_block,
         init_scan_state,
+        init_spectro_acc,
     )
 
     cfg = ScanConfig.create(256000, frames_per_block=10)
@@ -91,7 +95,7 @@ def test_fused_step_matches_separate_steps():
     scan_step = jax.jit(
         jax.vmap(
             functools.partial(_compact_scan_block, cfg, group_size, 16),
-            in_axes=(0, 0, 0, None, None, None),
+            in_axes=(0, 0, 0, 0, None, None, None, None),
         )
     )
     ddc_step = jax.jit(jax.vmap(functools.partial(_ddc_block, ddc_cfg), in_axes=(0, 0, 0)))
@@ -108,8 +112,10 @@ def test_fused_step_matches_separate_steps():
 
     ss_a = jax.tree.map(stack, init_scan_state(cfg, 0))
     ds_a = jax.tree.map(stack, ddc_init(ddc_cfg))
+    sp_a = stack(init_spectro_acc(cfg))
     ss_b = jax.tree.map(stack, init_scan_state(cfg, 0))
     ds_b = fold_banded(jax.tree.map(stack, ddc_init(ddc_cfg)))
+    sp_b = stack(init_spectro_acc(cfg))
     tables_folded = fold_banded(tables)
 
     for b in range(3):
@@ -119,10 +125,13 @@ def test_fused_step_matches_separate_steps():
         now = jnp.broadcast_to(
             (b * 10 + jnp.arange(1, 11, dtype=jnp.int32)) * 100, (n_bands, 10)
         )
-        ss_a, outs = scan_step(ss_a, iq, now, keys, valid, level)
+        ss_a, sp_a, outs = scan_step(
+            ss_a, sp_a, iq, now, keys, valid, level, jnp.float32(1.0)
+        )
         ds_a, rec = ddc_step(ds_a, iq.reshape(n_bands, -1, 2), tables)
-        ss_b, ds_b, fused = fused_step(
-            ss_b, ds_b, iq, now, keys, valid, level, tables_folded
+        ss_b, sp_b, ds_b, fused = fused_step(
+            ss_b, sp_b, ds_b, iq, now, keys, valid, level, jnp.float32(1.0), tables_folded
         )
         np.testing.assert_array_equal(np.asarray(fused.packed), np.asarray(outs.packed))
         np.testing.assert_array_equal(np.asarray(fused.recording), np.asarray(rec))
+        np.testing.assert_array_equal(np.asarray(sp_b), np.asarray(sp_a))

@@ -12,6 +12,7 @@ import pytest
 from rtl_sdr_scanner_tpu.models.scan_pipeline import (
     ScanConfig,
     init_scan_state,
+    init_spectro_acc,
     make_compact_scan_step,
     make_scan_step,
 )
@@ -131,6 +132,7 @@ def test_compact_matches_full_pipeline():
     t_cmp = _make_tracker(cfg)
     s_full = init_scan_state(cfg)
     s_cmp = init_scan_state(cfg)
+    sp_acc = init_spectro_acc(cfg)
     valid = jnp.asarray(np.ones(cfg.fft_size, dtype=bool))
 
     full_log, cmp_log = [], []
@@ -147,8 +149,9 @@ def test_compact_matches_full_pipeline():
             full_log.append((int(now[k]), t_full.process(raw[k], avg[k], int(now[k]))))
 
         slot_keys = t_cmp.current_keys(KEY_SLOTS)
-        s_cmp, oc = compact_step(
-            s_cmp, framed, jnp.asarray(now), jnp.asarray(slot_keys), valid, jnp.float32(8.0)
+        s_cmp, sp_acc, oc = compact_step(
+            s_cmp, sp_acc, framed, jnp.asarray(now), jnp.asarray(slot_keys), valid,
+            jnp.float32(8.0), jnp.float32(1.0),
         )
         c = oc.compact
         ci, cv = np.asarray(c.cand_idx), np.asarray(c.cand_val)
@@ -189,6 +192,7 @@ def _run_both(iq, cfg):
     t_cmp = _make_tracker(cfg)
     s_full = init_scan_state(cfg)
     s_cmp = init_scan_state(cfg)
+    sp_acc = init_spectro_acc(cfg)
     valid = jnp.asarray(np.ones(cfg.fft_size, dtype=bool))
 
     full_log, cmp_log = [], []
@@ -203,8 +207,9 @@ def _run_both(iq, cfg):
         for k in range(cfg.frames_per_block):
             full_log.append((int(now[k]), sorted(t_full.process(raw[k], avg[k], int(now[k])))))
         slot_keys = t_cmp.current_keys(KEY_SLOTS)
-        s_cmp, oc = compact_step(
-            s_cmp, framed, jnp.asarray(now), jnp.asarray(slot_keys), valid, jnp.float32(8.0)
+        s_cmp, sp_acc, oc = compact_step(
+            s_cmp, sp_acc, framed, jnp.asarray(now), jnp.asarray(slot_keys), valid,
+            jnp.float32(8.0), jnp.float32(1.0),
         )
         c = oc.compact
         ci, cv = np.asarray(c.cand_idx), np.asarray(c.cand_val)
