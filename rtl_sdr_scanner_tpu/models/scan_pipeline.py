@@ -116,6 +116,8 @@ class ScanOutputs(NamedTuple):
     avg: jnp.ndarray  # [frames, fft] time+frequency smoothed (or sentinel)
     spectro_sum: jnp.ndarray  # [spectro_size] PSD bin-mean sum over frames
     noise_ready: jnp.ndarray  # scalar bool AFTER this block
+    power: jnp.ndarray  # [frames, fft] raw PSD pre-noise (debug tap parity,
+    # sdr_device.cpp:175 taps the PSD block output before NoiseLearner)
 
 
 def init_scan_state(cfg: ScanConfig, start_ms: int = 0) -> ScanState:
@@ -155,7 +157,11 @@ def _scan_block(
     avg_rows = sliding_average(mean_rows, cfg.grouping_x)
     spectro = accumulate_frames(power, cfg.spectro_size)
     return state, ScanOutputs(
-        raw=raw_rows, avg=avg_rows, spectro_sum=spectro, noise_ready=state.noise.ready
+        raw=raw_rows,
+        avg=avg_rows,
+        spectro_sum=spectro,
+        noise_ready=state.noise.ready,
+        power=power,
     )
 
 

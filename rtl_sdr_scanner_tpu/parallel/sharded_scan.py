@@ -68,6 +68,38 @@ def make_sharded_scan_step(cfg: ScanConfig, mesh: Mesh):
     )
 
 
+def make_sharded_compact_step(
+    cfg: ScanConfig, group_size: int, top_k: int, mesh: Mesh
+):
+    """Compact-detection banded step sharded over the mesh "bands" axis.
+
+    This is the runtime's multi-chip program (runtime/wideband.py mesh mode):
+    per-band tracked keys and valid masks ride the band axis (unlike the
+    benchmark's make_banded_fused_step, which shares them), so each sub-band
+    session keeps its own detector context. Embarrassingly parallel -- no
+    collectives -- which is the point: the reference scans bands sequentially
+    (scanner.cpp:46-60); a mesh scans them all at once.
+
+    (state[B,..], acc[B,S], iq[B,F,G,2], now[B,F], keys[B,S], valid[B,fft],
+     start_level, keep) -> (state, acc, CompactScanOutputs[B,..])
+    """
+    from rtl_sdr_scanner_tpu.models.scan_pipeline import _compact_scan_block
+
+    shard = NamedSharding(mesh, P(BANDS_AXIS))
+    repl = NamedSharding(mesh, P())
+
+    vmapped = jax.vmap(
+        functools.partial(_compact_scan_block, cfg, group_size, top_k),
+        in_axes=(0, 0, 0, 0, 0, 0, None, None),
+    )
+    state_shard = jax.tree.map(lambda _: shard, init_scan_state(cfg))
+    return jax.jit(
+        vmapped,
+        in_shardings=(state_shard, shard, shard, shard, shard, shard, repl, repl),
+        donate_argnums=(0, 1),
+    )
+
+
 def make_time_sharded_ddc(cfg: DdcConfig, mesh: Mesh):
     """One band's block time-sharded across the "time" axis, K slots batched.
 

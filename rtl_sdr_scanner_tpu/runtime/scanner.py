@@ -14,6 +14,7 @@ deterministic and lets a thread wrapper (run()) provide the live behavior.
 from __future__ import annotations
 
 import threading
+import time
 from typing import List, Optional, Tuple
 
 from rtl_sdr_scanner_tpu.runtime.config import Config, DeviceSpec
@@ -42,7 +43,16 @@ class Scanner:
         self._config = config
         self._tunables = config.tunables
         self._source = make_source(device_spec, loop=loop_replay)
-        self.device = SdrDevice(config, device_spec, mqtt, recorders_count)
+        # wire clock: payload time = source epoch + stream-relative ms
+        # (utils.cpp:14 getTime is epoch ms; replay sources report epoch 0 so
+        # replay runs stay deterministic)
+        self.device = SdrDevice(
+            config,
+            device_spec,
+            mqtt,
+            recorders_count,
+            session_epoch_ms=getattr(self._source, "session_epoch_ms", 0),
+        )
         self._noise_path = (
             f"{config.tunables.noise_state_path}.{device_spec.name}.npz"
             if config.tunables.noise_state_path
@@ -88,8 +98,13 @@ class Scanner:
     # -- scheduling --------------------------------------------------------
 
     def _hop(self, now_ms: int) -> None:
+        first_tune = self._range_index < 0
         self._range_index = (self._range_index + 1) % len(self._ranges)
         rng = self._ranges[self._range_index]
+        if first_tune and not _is_replay(self._source):
+            # first-tune warmup (INITIAL_DELAY, sdr_device.cpp:55-61): let the
+            # front-end settle before the first samples count
+            time.sleep(self._tunables.initial_delay_ms / 1000.0)
         self._source.set_center_frequency((rng[0] + rng[1]) // 2)
         self.device.set_frequency_range(rng, now_ms)
         self._dwell_start_ms = now_ms
@@ -208,6 +223,12 @@ class Scanner:
         if self._thread is not None:
             self._thread.join(timeout=10)
             self._thread = None
+        # release the hardware: stop the reader thread and close the stream
+        # (reference SdrDevice dtor stops the flowgraph, sdr_device.cpp:47-52)
+        if hasattr(self._source, "stop_streaming"):
+            self._source.stop_streaming()
+        if hasattr(self._source, "close"):
+            self._source.close()
         if self._noise_path:
             self.device.save_noise_state(self._noise_path)
 

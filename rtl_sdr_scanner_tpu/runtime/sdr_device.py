@@ -163,6 +163,9 @@ class SdrDevice:
         # 1 Hz send cadence / on retune instead of every block
         self._spectro_acc = None
         self._spectro_pending_frames = 0
+        # after a drain the device accumulator is reset ON DEVICE: the next
+        # submit passes spectro_keep=0.0 (no host->device re-upload)
+        self._spectro_reset_pending = False
         # manual recordings (extension; the reference stubs sdr/manual_recording,
         # remote_controller.cpp:45): absolute frequency -> remaining duration or
         # expiry stream-ms once armed
@@ -303,6 +306,8 @@ class SdrDevice:
 
                 self._spectro_acc = init_spectro_acc(cfg)
             slot_keys = self._tracker.current_keys(self._tunables.detection_key_slots)
+            keep = 0.0 if self._spectro_reset_pending else 1.0
+            self._spectro_reset_pending = False
             self._scan_state, self._spectro_acc, outs = self._scan_step(
                 self._scan_state,
                 self._spectro_acc,
@@ -311,7 +316,7 @@ class SdrDevice:
                 jnp.asarray(slot_keys),
                 self._valid_mask_dev,
                 jnp.float32(self._device.start_level),
-                jnp.float32(1.0),
+                jnp.float32(keep),
             )
             self._spectro_pending_frames += cfg.frames_per_block
         else:
@@ -375,9 +380,8 @@ class SdrDevice:
             raw = np.asarray(outs.raw)
             avg = np.asarray(outs.avg)
             if self._power_sink is not None and self._power_sink.recording:
-                # NOTE: reference taps raw PSD pre-noise (sdr_device.cpp:175);
-                # these rows are power-minus-noise-floor
-                self._power_sink.write(raw)
+                # reference taps raw PSD pre-noise (sdr_device.cpp:175)
+                self._power_sink.write(np.asarray(outs.power))
             for k in range(cfg.frames_per_block):
                 notification = self._tracker.process(raw[k], avg[k], int(now_arr[k]))
                 for shift, flush in notification:
@@ -562,17 +566,28 @@ class SdrDevice:
             iq_dev = iq_dev.reshape(-1)
         self._ddc_state, out = self._ddc_step(self._ddc_state, iq_dev, self._ddc_tables)
         out_np = None
+        # pending entries are RECORDER_FLUSH_INTERVAL-sized chunks so the MQTT
+        # stream keeps the reference's ~100 ms payload cadence (recorder.cpp:35
+        # stream_to_vector of flush-interval length feeding the Buffer)
+        flush_samples = max(
+            1, int(self.ddc_cfg.bandwidth * self._tunables.recorder_flush_interval_ms / 1000)
+        )
         for rec in self._recorders:
             if rec.is_recording:
                 if out_np is None:
                     out_np = np.asarray(out)
                 samples = out_np[rec.index]
+                trimmed = 0
                 if rec.start_fraction > 0.0:
                     # first captured block: trim to the detection frame
-                    offset = int(rec.start_fraction * samples.shape[0])
-                    samples = samples[offset:]
+                    trimmed = int(rec.start_fraction * samples.shape[0])
+                    samples = samples[trimmed:]
                     rec.start_fraction = 0.0
-                rec.pending.append((block_start_ms, samples))
+                for off in range(0, samples.shape[0], flush_samples):
+                    stamp = block_start_ms + int(
+                        (trimmed + off) * 1000 / self.ddc_cfg.bandwidth
+                    )
+                    rec.pending.append((stamp, samples[off : off + flush_samples]))
                 if self._rec_sinks is not None:
                     sink = self._rec_sinks[rec.index]
                     if not sink.recording:
@@ -633,9 +648,7 @@ class SdrDevice:
         container.sum += np.asarray(self._spectro_acc, dtype=np.float64)
         container.counter += self._spectro_pending_frames
         self._spectro_pending_frames = 0
-        from rtl_sdr_scanner_tpu.models.scan_pipeline import init_spectro_acc
-
-        self._spectro_acc = init_spectro_acc(self.scan_cfg)
+        self._spectro_reset_pending = True
 
     def _maybe_send_spectrogram(self, now_ms: int) -> None:
         """Compact-mode egress: fetch + send only at the reference's cadence

@@ -72,6 +72,13 @@ class ReplaySource:
         return self._rate
 
     @property
+    def session_epoch_ms(self) -> int:
+        """Epoch milliseconds at stream start. Replay is deterministic: the
+        stream clock IS the payload clock (0 epoch), so replay payloads carry
+        stream-relative time and tests stay reproducible."""
+        return 0
+
+    @property
     def exhausted(self) -> bool:
         """True once a read could not be satisfied (non-loop mode)."""
         return self._exhausted
@@ -156,6 +163,13 @@ class SoapySource:
     @property
     def sample_rate(self) -> int:
         return self._rate
+
+    @property
+    def session_epoch_ms(self) -> int:
+        """Epoch ms at stream start: payload time = epoch + stream ms, the
+        reference's wire contract (utils.cpp:14 getTime, data_controller.cpp:33
+        time.count() are epoch milliseconds)."""
+        return self._epoch_ms
 
     @property
     def exhausted(self) -> bool:
