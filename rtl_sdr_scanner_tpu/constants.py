@@ -76,6 +76,12 @@ class Tunables:
     # write a JAX profiler trace of the device pipeline to this directory
     # ("" = off). View with tensorboard / xprof. SURVEY.md section 5 tracing.
     profile_dir: str = ""
+    # multi-chip: shard a wideband device's sub-band sessions over an
+    # N-device "bands" mesh (parallel/mesh.py). 0 = single device; -1 = all
+    # visible devices. channels must be divisible by the mesh size. This is
+    # the north-star replacement for the reference's sequential 500 ms
+    # band hops (scanner.cpp:46-60): one pod watches every band at once.
+    mesh_bands: int = 0
 
 
 # Module-level default instance; runtime code takes a Tunables argument and

@@ -96,6 +96,10 @@ def make_sharded_compact_step(
     return jax.jit(
         vmapped,
         in_shardings=(state_shard, shard, shard, shard, shard, shard, repl, repl),
+        # pin outputs too: without this XLA may replicate small per-band
+        # leaves (averager.pos etc.), which then mismatch the next call's
+        # in_shardings
+        out_shardings=(state_shard, shard, shard),
         donate_argnums=(0, 1),
     )
 

@@ -412,7 +412,11 @@ class SdrDevice:
         if self.is_recording:
             self._run_ddc(handle["iq_dev"], block_start_ms)
 
-        if self._compact:
+        if handle.get("skip_spectro"):
+            # banded mesh mode: the owner drains the [bands, size] device
+            # accumulator and feeds ingest_spectro at the send cadence
+            pass
+        elif self._compact:
             self._maybe_send_spectrogram(int(now_arr[-1]))
         else:
             self._accumulate_spectrogram(np.asarray(outs.spectro_sum), int(now_arr[-1]))
@@ -670,9 +674,15 @@ class SdrDevice:
             container.last_send_ms = now_ms
 
     def _accumulate_spectrogram(self, spectro_sum: np.ndarray, now_ms: int) -> None:
+        self.ingest_spectro(spectro_sum, self.scan_cfg.frames_per_block, now_ms)
+
+    def ingest_spectro(self, spectro_sum: np.ndarray, n_frames: int, now_ms: int) -> None:
+        """Add externally-accumulated PSD bin sums (e.g. this band's row of a
+        banded device accumulator) and send at the 1 Hz cadence
+        (spectrogram.cpp:62-75)."""
         container = self._get_spectro_container(now_ms)
         container.sum += spectro_sum
-        container.counter += self.scan_cfg.frames_per_block
+        container.counter += n_frames
         if container.last_send_ms + self._tunables.spectrogram_send_interval_ms < now_ms:
             # C++ float -> int8 conversion truncates toward zero
             bins = np.trunc(container.sum / container.counter)

@@ -39,6 +39,15 @@ from rtl_sdr_scanner_tpu.utils.radio_utils import format_frequency
 LABEL = "wideband"
 
 
+class _PackedOuts:
+    """Minimal stand-in for CompactScanOutputs when the banded mesh step's
+    packed rows are distributed to per-band sessions (finish_block only
+    reads .packed)."""
+
+    def __init__(self, packed: np.ndarray):
+        self.packed = packed
+
+
 class WidebandScanner:
     def __init__(
         self,
@@ -94,6 +103,9 @@ class WidebandScanner:
         self._wide_block = self._sub_block * b
         self._running = False
         self._thread: Optional[threading.Thread] = None
+        self._mesh = None
+        if config.tunables.mesh_bands:
+            self._setup_mesh(config.tunables.mesh_bands)
         logger.info(
             LABEL,
             "watching {} concurrently as {} channels (block {} samples)",
@@ -101,6 +113,105 @@ class WidebandScanner:
             b,
             self._wide_block,
         )
+
+    # -- multi-chip mode (SURVEY.md section 2 parallelism: bands mesh axis) --
+
+    def _setup_mesh(self, mesh_bands: int) -> None:
+        """Shard the B sub-band sessions over an N-device bands mesh: ONE
+        sharded compact scan dispatch per wideband block replaces B serial
+        session dispatches; trackers/recorders/egress stay per-band on host.
+        """
+        import jax
+
+        from rtl_sdr_scanner_tpu.parallel.mesh import band_sharding, make_mesh
+        from rtl_sdr_scanner_tpu.parallel.sharded_scan import (
+            init_banded_state,
+            make_sharded_compact_step,
+        )
+
+        b = len(self._sessions)
+        n = len(jax.devices()) if mesh_bands < 0 else mesh_bands
+        n = min(n, len(jax.devices()), b)
+        while b % n != 0:  # bands shard must divide evenly
+            n -= 1
+        if not self._config.tunables.compact_detection:
+            logger.warn(LABEL, "mesh_bands needs compact detection; staying serial")
+            return
+        session = self._sessions[0]
+        cfg = session.scan_cfg
+        self._mesh = make_mesh(n_bands=n, n_time=1)
+        self._mesh_step = make_sharded_compact_step(
+            cfg,
+            session._group_size_early,
+            self._config.tunables.detection_top_k,
+            self._mesh,
+        )
+        self._band_state = init_banded_state(cfg, b, self._mesh)
+        self._band_acc = jax.device_put(
+            jnp.zeros((b, cfg.spectro_size), dtype=jnp.float32),
+            band_sharding(self._mesh),
+        )
+        # parked sessions: ranges never change, so masks are computed once
+        self._band_valid = jax.device_put(
+            jnp.stack(
+                [jnp.asarray(s._tracker._compute_valid_mask()) for s in self._sessions]
+            ),
+            band_sharding(self._mesh),
+        )
+        self._acc_pending_frames = 0
+        self._acc_reset_pending = False
+        self._last_spectro_ms = 0
+        logger.info(LABEL, "bands mesh: {} sub-bands over {} devices", b, n)
+
+    def _step_mesh(self, channels, start_ms: int, now_ms: int) -> None:
+        import jax
+
+        cfg = self._sessions[0].scan_cfg
+        b = len(self._sessions)
+        s = self._config.tunables.detection_key_slots
+        frame_ms = cfg.frame_interval_ms
+        now_arr = (
+            start_ms + ((1 + np.arange(cfg.frames_per_block)) * frame_ms)
+        ).astype(np.int32)
+        keys = np.stack(
+            [session._tracker.current_keys(s) for session in self._sessions]
+        )
+        keep = 0.0 if self._acc_reset_pending else 1.0
+        self._acc_reset_pending = False
+
+        iq = channels.reshape(b, cfg.frames_per_block, -1, 2)
+        self._band_state, self._band_acc, outs = self._mesh_step(
+            self._band_state,
+            self._band_acc,
+            iq,
+            jnp.broadcast_to(jnp.asarray(now_arr), (b, cfg.frames_per_block)),
+            jnp.asarray(keys),
+            self._band_valid,
+            jnp.float32(self._sessions[0]._device.start_level),
+            jnp.float32(keep),
+        )
+        self._acc_pending_frames += cfg.frames_per_block
+        packed = np.asarray(outs.packed)  # ONE [B, L] device->host transfer
+        for ch, session in enumerate(self._sessions):
+            session.finish_block(
+                {
+                    "outs": _PackedOuts(packed[ch]),
+                    "iq_dev": channels[ch],
+                    "iq_is_int8": False,
+                    "now_arr": now_arr,
+                    "slot_keys": keys[ch],
+                    "block_start_ms": start_ms,
+                    "skip_spectro": True,
+                }
+            )
+        interval = self._config.tunables.spectrogram_send_interval_ms
+        if self._last_spectro_ms + interval < now_ms and self._acc_pending_frames:
+            acc = np.asarray(self._band_acc, dtype=np.float64)
+            for ch, session in enumerate(self._sessions):
+                session.ingest_spectro(acc[ch], self._acc_pending_frames, now_ms)
+            self._acc_pending_frames = 0
+            self._acc_reset_pending = True
+            self._last_spectro_ms = now_ms
 
     @property
     def sessions(self) -> List[SdrDevice]:
@@ -125,6 +236,10 @@ class WidebandScanner:
         self._chan_state, channels = channelize_block_pairs(
             self._plan, self._chan_state, jnp.asarray(pairs.reshape(-1, 2))
         )
+        if self._mesh is not None:
+            # multi-chip: one sharded banded dispatch for ALL sub-bands
+            self._step_mesh(channels, start_ms, now_ms)
+            return True
         # per-band sessions consume their channel stream ON DEVICE (no host
         # round trip); submit all bands first so the device pipelines
         # overlap, then finish

@@ -134,6 +134,74 @@ def main() -> int:
         ms = (time.perf_counter() - t0) / args.reps * 1000
         print(f"{name}: {ms:.1f} ms/block")
 
+    # detection sub-ops on resident random rows (isolates each sweep)
+    from rtl_sdr_scanner_tpu.ops.detect import (
+        K_SEP,
+        _margin_separated_top,
+        _mode_median_ties,
+        _two_stage_top_k,
+        _windowed_argmax,
+        sliding_argmax,
+    )
+
+    half = group_size // 2
+    submargin = group_size // 2 if group_size % 2 == 0 else group_size // 2 + 1
+    rows = jax.device_put(
+        rng.standard_normal((nb, frames, cfg.fft_size)).astype(np.float32)
+    )
+    hist = jax.device_put(
+        rng.standard_normal((nb, half_depth - 1 + frames, cfg.fft_size)).astype(np.float32)
+    )
+
+    def sub_topk(r, h):
+        v, i = jax.vmap(lambda x: _two_stage_top_k(x, 64))(r)
+        return jnp.sum(v) + jnp.sum(i)
+
+    def sub_margin(r, h):
+        v, i = jax.vmap(lambda x: _margin_separated_top(x, K_SEP, submargin))(r)
+        return jnp.sum(v) + jnp.sum(i)
+
+    def sub_slidemax(r, h):
+        v, i = jax.vmap(lambda x: sliding_argmax(x, half))(h)
+        return jnp.sum(v) + jnp.sum(i)
+
+    def sub_vote(r, h):
+        def per_band(rows_b, hist_b):
+            cand_idx = jnp.tile(jnp.arange(80, dtype=jnp.int32)[None, :], (frames, 1))
+            row_sel = (
+                jnp.arange(frames, dtype=jnp.int32)[:, None]
+                + jnp.arange(half_depth, dtype=jnp.int32)[None, :]
+            )
+            hv, hi = sliding_argmax(hist_b, half)
+            lin = row_sel[:, :, None] * cfg.fft_size + cand_idx[:, None, :]
+            vals = hv.reshape(-1)[lin]
+            idxs = hi.reshape(-1)[lin]
+            best = _mode_median_ties(
+                jnp.swapaxes(idxs, 1, 2), jnp.swapaxes(vals >= 8.0, 1, 2), cand_idx
+            )
+            return jnp.sum(best)
+
+        return jnp.sum(jax.vmap(per_band)(r, h))
+
+    def sub_keys(r, h):
+        v, i = jax.vmap(jax.vmap(lambda row: _windowed_argmax(row, keys, half, cfg.fft_size)))(r)
+        return jnp.sum(v) + jnp.sum(i)
+
+    for name, fn in {
+        "sub: two-stage top-64": sub_topk,
+        "sub: margin-separated (16 sweeps)": sub_margin,
+        "sub: sliding_argmax hist": sub_slidemax,
+        "sub: hist vote (slidemax+gather+mode)": sub_vote,
+        "sub: key windowed argmax": sub_keys,
+    }.items():
+        prog = jax.jit(fn)
+        timed(prog, rows, hist)
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            timed(prog, rows, hist)
+        ms = (time.perf_counter() - t0) / args.reps * 1000
+        print(f"{name}: {ms:.1f} ms/block")
+
     # DDC alone (banded, matmul FIR path)
     flat = iq.reshape(nb, -1, 2)
     ddc = jax.jit(
