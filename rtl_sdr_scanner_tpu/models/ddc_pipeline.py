@@ -19,16 +19,21 @@ import numpy as np
 
 from rtl_sdr_scanner_tpu.ops import ddc as ddc_ops
 from rtl_sdr_scanner_tpu.ops.ddc import (
+    Ddc2State,
     DdcState,
+    ModTables,
     NcoTables,
     StagePlan,
     chain_block_multiple,
     chain_output_length,
+    init_ddc2_state,
     init_ddc_state,
+    make_mod_tables,
     make_nco_tables,
     plan_chain,
-    reset_slot,
+    reset_slot2,
 )
+from rtl_sdr_scanner_tpu.ops.ddc import reset_slot as _reset_slot_v1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,22 +78,59 @@ class DdcConfig:
     def out_per_block(self) -> int:
         return chain_output_length(self.plans, self.block_samples)
 
+    @property
+    def modtap(self) -> bool:
+        """True when the modulated-taps path (ops/ddc.py v2: rotation folded
+        into stage 1, ~4x less stage-1 HBM traffic) applies: a decimation-only
+        first stage with the chunked-matmul form available."""
+        return self.plans[0].interp == 1 and self.plans[0].chunk_c > 0
 
-def init_state(cfg: DdcConfig) -> DdcState:
+
+def init_state(cfg: DdcConfig):
+    if cfg.modtap:
+        return init_ddc2_state(cfg.plans, cfg.num_slots)
     return init_ddc_state(cfg.plans, cfg.num_slots)
 
 
-def make_tables(cfg: DdcConfig, shifts: np.ndarray) -> NcoTables:
-    """Per-slot NCO tables; host refreshes when a slot's shift changes
-    (recorder startRecording, recorder.cpp:58-73)."""
+def reset_slot(state, slot: int):
+    """Zero one slot's carry (dispatches on the state flavor)."""
+    if isinstance(state, Ddc2State):
+        return reset_slot2(state, slot)
+    return _reset_slot_v1(state, slot)
+
+
+def make_tables(cfg: DdcConfig, shifts: np.ndarray):
+    """Per-slot NCO/modulated-tap tables; host refreshes when a slot's shift
+    changes (recorder startRecording, recorder.cpp:58-73)."""
+    if cfg.modtap:
+        return make_mod_tables(cfg.plans, shifts, cfg.sample_rate, cfg.chunk)
     return make_nco_tables(shifts, cfg.sample_rate, cfg.chunk)
 
 
 def _ddc_block(
-    cfg: DdcConfig, state: DdcState, iq: jnp.ndarray, tables: NcoTables
+    cfg: DdcConfig, state, iq: jnp.ndarray, tables
 ) -> Tuple[DdcState, jnp.ndarray]:
     """iq: [block_samples] complex64, or [block_samples, 2] int8 cs8 / f32
     pairs -> int8 out [num_slots, out_per_block, 2]."""
+    if cfg.modtap:
+        # single band as NB=1 through the banded modtap kernel
+        if iq.ndim == 2:
+            chunks = iq.reshape(cfg.num_chunks, 1, cfg.chunk, 2)
+        else:
+            chunks = iq.reshape(cfg.num_chunks, 1, cfg.chunk)
+        state_b = jax.tree.map(lambda a: a[None], state)
+        tables_b = jax.tree.map(lambda a: a[None], tables)
+
+        def body(carry, chunk_iq):
+            new_state, out = ddc_ops.ddc_chunk_modtap(chunk_iq, carry, tables_b, cfg.plans)
+            return new_state, out
+
+        state_b, outs = jax.lax.scan(body, state_b, chunks)
+        state = jax.tree.map(lambda a: a[0], state_b)
+        # [num_chunks, 1, K, chunk_out, 2] -> [K, block_out, 2]
+        out = jnp.moveaxis(outs[:, 0], 0, 1).reshape(cfg.num_slots, -1, 2)
+        return state, out
+
     if iq.ndim == 2:
         chunks = iq.reshape(cfg.num_chunks, cfg.chunk, 2)
     else:
@@ -122,6 +164,18 @@ def _ddc_block_banded(
         chunks = iq.reshape(nb, cfg.num_chunks, cfg.chunk)
     chunks = jnp.moveaxis(chunks, 1, 0)  # [num_chunks, NB, ...]
 
+    # modtap supersedes the Pallas FIR path: the matmul already runs on the
+    # MXU and stage 1 no longer exists as a standalone FIR (see ops/ddc.py)
+    if cfg.modtap:
+
+        def body2(carry, chunk_iq):
+            new_state, out = ddc_ops.ddc_chunk_modtap(chunk_iq, carry, tables, cfg.plans)
+            return new_state, out
+
+        state, outs = jax.lax.scan(body2, state, chunks)
+        out = jnp.moveaxis(outs, 0, 2).reshape(nb, cfg.num_slots, -1, 2)
+        return state, out
+
     def body(carry, chunk_iq):
         new_state, out = ddc_ops.ddc_chunk_banded(
             chunk_iq, carry, tables, cfg.plans, nb, use_pallas_fir
@@ -135,7 +189,13 @@ def _ddc_block_banded(
 
 
 def fold_banded(tree):
-    """Stack-of-bands pytree [NB, K, ...] -> banded-DDC layout [NB*K, ...]."""
+    """Stack-of-bands pytree -> banded-DDC layout.
+
+    v1 (NcoTables / DdcState): [NB, K, ...] leaves fold to [NB*K, ...].
+    v2 (ModTables / Ddc2State): the banded layout IS the stacked [NB, ...]
+    layout; returned unchanged."""
+    if isinstance(tree, (Ddc2State, ModTables)):
+        return tree
     return jax.tree.map(lambda a: a.reshape((-1,) + a.shape[2:]), tree)
 
 
@@ -155,6 +215,8 @@ def make_ddc_step(cfg: DdcConfig):
 __all__ = [
     "DdcConfig",
     "DdcState",
+    "Ddc2State",
+    "ModTables",
     "init_state",
     "make_tables",
     "make_ddc_step",

@@ -473,6 +473,220 @@ def ddc_chunk_banded(
     return DdcState(phase=new_phase, tails=tuple(new_tails)), out
 
 
+# ---------------------------------------------------------------------------
+# Modulated-taps DDC (v2): rotation folded into the first decimation stage
+# ---------------------------------------------------------------------------
+#
+# The v1 path materializes the ROTATED full-rate stream per slot
+# ([K, 2, chunk] f32) plus the rotation-table outer product ([K, chunk] x2),
+# ~16 GB of HBM traffic per 32-band block -- the dominant DDC cost on v5e.
+# The classic DDC identity removes it:
+#
+#   y1[m] = sum_j h[j] x[mM-j] e^{i(phi0 + inc(mM-j))}
+#         = e^{i(phi0 + inc M m)} sum_j (h[j] e^{-i inc j}) x[mM-j]
+#
+# so stage 1 filters the RAW input with complex modulated taps
+# g[j] = h[j] e^{-i inc j} (per slot, host-exact int64 angles), and the NCO
+# rotation happens at the DECIMATED rate (M x fewer samples). The raw-x
+# overlap-save tail is shared by all slots. Same chunked-matmul MXU form;
+# 2x the stage-1 FLOPs (complex x complex), ~4x less stage-1 HBM traffic.
+#
+# Semantics note: a freshly reset slot keeps the shared raw-x history for
+# stage 1 (its stage-2+ tails and phase are zeroed), so a new recording has
+# no zero-history startup transient -- a deliberate, strictly-better
+# divergence from the reference's freshly-built chain (recorder.cpp:21-40);
+# the first ceil(ntaps/M) output samples differ from v1 after a mid-stream
+# reset only.
+
+
+class Ddc2State(NamedTuple):
+    """Streaming carry for the modulated-taps path."""
+
+    phase: jnp.ndarray  # [K] (or [NB, K]) f32 NCO phase at block start
+    x_tail: jnp.ndarray  # [2, tail0] (or [NB, 2, tail0]) raw-x overlap-save
+    tails: Tuple[jnp.ndarray, ...]  # stages 2+: [K, 2, t] (or [NB, K, 2, t])
+
+
+class ModTables(NamedTuple):
+    """Per-retune stage-1 modulated weights + decimated-rate NCO tables."""
+
+    w: jnp.ndarray  # [C, K*2*D*P] f32, column order (k, part, d*P + b)
+    rot: "NcoTables"  # decimated-rate output rotation (angles at n = M*m)
+
+
+def init_ddc2_state(plans: Sequence[StagePlan], num_slots: int) -> Ddc2State:
+    return Ddc2State(
+        phase=jnp.zeros((num_slots,), dtype=jnp.float32),
+        x_tail=jnp.zeros((2, plans[0].tail_len), dtype=jnp.float32),
+        tails=tuple(
+            jnp.zeros((num_slots, 2, p.tail_len), dtype=jnp.float32)
+            for p in plans[1:]
+        ),
+    )
+
+
+def reset_slot2(state: Ddc2State, slot: int) -> Ddc2State:
+    """Zero one slot's carry; the shared raw-x stage-1 tail stays (see the
+    semantics note above)."""
+    return Ddc2State(
+        phase=state.phase.at[slot].set(0.0),
+        x_tail=state.x_tail,
+        tails=tuple(t.at[slot].set(0.0) for t in state.tails),
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def _modtap_scatter_index(m: int, r_rows: int, tail_len: int, c: int, d: int, q: int):
+    """Static gather index building w_full[b, col] = g_rev[col - s - b*m]
+    (sentinel slot r_rows*m for out-of-range), plus the final permutation
+    already applied: returns idx [C, D*P] s.t. w[:, k2, dp] = g_pad[idx]."""
+    p = c // m
+    s = q - tail_len
+    cols = np.arange(d * c)
+    rows = np.arange(p)[:, None]
+    t = cols[None, :] - s - rows * m
+    sentinel = r_rows * m
+    t = np.where((t >= 0) & (t < r_rows * m), t, sentinel)
+    # [P, D*C] -> same permutation as _plan_chunk_matmul: reshape(p, d, c)
+    # .transpose(2, 1, 0).reshape(c, d*p)
+    idx = t.reshape(p, d, c).transpose(2, 1, 0).reshape(c, d * p)
+    return jnp.asarray(idx.astype(np.int32))
+
+
+def make_mod_tables(
+    plans: Sequence[StagePlan], shifts: np.ndarray, sample_rate: int, chunk: int
+) -> ModTables:
+    """Host-exact modulated-tap tables for per-slot shifts.
+
+    Tap angles and the decimated-rate rotation both come from int64 modular
+    arithmetic (same guarantees as make_nco_tables). The big weight matrix is
+    assembled ON DEVICE from the tiny [K, 2, R*M] modulated-tap vectors."""
+    p0 = plans[0]
+    assert p0.interp == 1 and p0.chunk_c > 0, "modtap needs a chunked stage 1"
+    m = p0.decim
+    shifts = np.asarray(shifts, dtype=np.int64)
+    smod = (-shifts) % sample_rate  # [K]
+    ntaps = p0.ntaps
+    rm = p0.poly_rows * m
+
+    # g_rev[t] = h_rev[t] * e^{-i inc (ntaps-1-t)}, h_rev already reversed
+    h_rev = np.zeros(rm)
+    h_rev[:ntaps] = np.asarray(design_resampler_taps(p0.interp, p0.decim))[::-1]
+    j = np.maximum(ntaps - 1 - np.arange(rm), 0)  # forward tap index
+    ang = ((smod[:, None] * j[None, :]) % sample_rate) * (2.0 * np.pi / sample_rate)
+    g = np.stack(
+        [h_rev[None, :] * np.cos(ang), -h_rev[None, :] * np.sin(ang)], axis=1
+    )  # [K, 2, RM]
+    g_pad = np.concatenate([g, np.zeros((g.shape[0], 2, 1))], axis=-1).astype(
+        np.float32
+    )
+
+    idx = _modtap_scatter_index(m, p0.poly_rows, p0.tail_len, p0.chunk_c, p0.chunk_d, p0.chunk_q)
+
+    @jax.jit
+    def build(gp):
+        # [K, 2, C, D*P] -> [C, K*2*D*P]
+        w = gp[:, :, idx]
+        k = gp.shape[0]
+        return jnp.moveaxis(w, 2, 0).reshape(p0.chunk_c, k * 2 * idx.shape[1])
+
+    rot = make_nco_tables(-((smod * m) % sample_rate), sample_rate, chunk // m)
+    return ModTables(w=build(jnp.asarray(g_pad)), rot=rot)
+
+
+def _modtap_stage1(
+    x: jnp.ndarray,  # [NB, 2, chunk] f32 raw components
+    x_tail: jnp.ndarray,  # [NB, 2, tail0]
+    w: jnp.ndarray,  # [NB, C, K*2*D*P]
+    plan: StagePlan,
+    k: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Complex-tap chunked-matmul stage 1 over the raw input.
+
+    Returns (y_re, y_im) [NB, K, out1] and the new raw tail."""
+    nb, two, n = x.shape
+    m = plan.decim
+    c, d, q = plan.chunk_c, plan.chunk_d, plan.chunk_q
+    p = c // m
+    out_len = n // m
+    a_tiles = -(-out_len // p)
+    n_chunks = a_tiles + d - 1
+    lhs = jnp.concatenate(
+        [
+            jnp.zeros((nb, two, q - plan.tail_len), x.dtype),
+            x_tail,
+            x,
+            jnp.zeros((nb, two, n_chunks * c - q - n), x.dtype),
+        ],
+        axis=-1,
+    ).reshape(nb, two * n_chunks, c)
+    z = jax.lax.dot_general(
+        lhs,
+        w,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ).reshape(nb, two, n_chunks, k, 2, d * p)
+    acc = z[:, :, 0:a_tiles, :, :, 0:p]
+    for dd in range(1, d):
+        acc = acc + z[:, :, dd : dd + a_tiles, :, :, dd * p : (dd + 1) * p]
+    # acc [NB, xcomp, a, K, gcomp, P] -> [NB, xcomp, K, gcomp, out1]
+    acc = jnp.moveaxis(acc, 2, 4).reshape(nb, two, k, 2, a_tiles * p)[..., :out_len]
+    y_re = acc[:, 0, :, 0] - acc[:, 1, :, 1]
+    y_im = acc[:, 0, :, 1] + acc[:, 1, :, 0]
+    new_tail = jnp.concatenate([x_tail, x], axis=-1)[..., -plan.tail_len :]
+    return y_re, y_im, new_tail
+
+
+def ddc_chunk_modtap(
+    iq: jnp.ndarray,  # [NB, chunk(,2)] int8 cs8 / f32 pairs / c64
+    state: Ddc2State,  # banded leaves: phase [NB,K], x_tail [NB,2,t0], tails [NB,K,2,t]
+    tables: ModTables,  # banded leaves: w [NB,C,K2DP], rot fields [NB,K,...]
+    plans: Sequence[StagePlan],
+) -> Tuple[Ddc2State, jnp.ndarray]:
+    """Modulated-taps DDC chunk over all bands; returns int8 [NB, K, out, 2]."""
+    nb, chunk = iq.shape[0], iq.shape[1]
+    k = state.phase.shape[-1]
+    p0 = plans[0]
+    out1 = chunk // p0.decim
+
+    if iq.dtype == jnp.int8:
+        x = jnp.moveaxis(iq.astype(jnp.float32) * (1.0 / 127.5), -1, 1)
+    elif iq.ndim == 3:
+        x = jnp.moveaxis(iq, -1, 1)  # [NB, 2, chunk]
+    else:
+        x = jnp.stack([jnp.real(iq), jnp.imag(iq)], axis=1)
+
+    y_re, y_im, new_x_tail = _modtap_stage1(x, state.x_tail, tables.w, p0, k)
+
+    # decimated-rate output rotation: e^{i(phi0 + inc M m)}
+    rt = tables.rot
+    ph_re = jnp.cos(state.phase)[..., None]  # [NB, K, 1]
+    ph_im = jnp.sin(state.phase)[..., None]
+    c_re = ph_re * rt.coarse_re - ph_im * rt.coarse_im  # [NB, K, nq]
+    c_im = ph_re * rt.coarse_im + ph_im * rt.coarse_re
+    rot_re = (
+        c_re[..., None] * rt.fine_re[..., None, :] - c_im[..., None] * rt.fine_im[..., None, :]
+    ).reshape(nb, k, out1)
+    rot_im = (
+        c_re[..., None] * rt.fine_im[..., None, :] + c_im[..., None] * rt.fine_re[..., None, :]
+    ).reshape(nb, k, out1)
+    y = jnp.stack(
+        [y_re * rot_re - y_im * rot_im, y_re * rot_im + y_im * rot_re], axis=2
+    ).reshape(nb * k, 2, out1)
+
+    new_tails = []
+    for plan, tail in zip(plans[1:], state.tails):
+        y, new_tail = _stage_apply(y, tail.reshape(nb * k, 2, -1), plan)
+        new_tails.append(new_tail.reshape(nb, k, 2, -1))
+
+    out = jnp.clip(jnp.round(jnp.moveaxis(y, 1, 2) * 127.0), -128, 127).astype(jnp.int8)
+    new_phase = jnp.mod(state.phase + rt.step, 2.0 * jnp.pi)
+    return (
+        Ddc2State(phase=new_phase, x_tail=new_x_tail, tails=tuple(new_tails)),
+        out.reshape(nb, k, -1, 2),
+    )
+
+
 def make_ddc_step(plans: Sequence[StagePlan], num_chunks: int):
     """Jittable block processor: scan ddc_chunk over num_chunks chunks.
 

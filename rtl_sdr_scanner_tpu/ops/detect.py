@@ -130,29 +130,42 @@ def sliding_argmax(rows: jnp.ndarray, half: int):
     while (1 << (j_max + 1)) <= w:
         j_max += 1
     span = 1 << j_max  # largest power of two <= w
+    assert span <= 128, "int8 offset encoding bounds the window span at 128"
     neg = -jnp.inf
     # padded coords: real bin b at position b + half; lookups reach
     # (n-1) + (w - span) + span - 1 = n + w - 2
     total = n + 2 * half + span
     pad_cfg = [(0, 0)] * len(lead)
     v = jnp.pad(rows.astype(jnp.float32), pad_cfg + [(half, total - n - half)], constant_values=neg)
-    i = jnp.broadcast_to(jnp.arange(total, dtype=jnp.int32) - half, v.shape)
+    # the argmax is tracked as an int8 OFFSET from the span anchor (idx - pos,
+    # < span <= 128): 4x less index traffic than absolute int32 through the
+    # doubling levels; absolute indices materialize once at the end
+    off8 = jnp.zeros(v.shape, dtype=jnp.int8)
 
     for j in range(j_max):
         step = 1 << j
         sv = jnp.pad(v[..., step:], pad_cfg + [(0, step)], constant_values=neg)
-        si = jnp.pad(i[..., step:], pad_cfg + [(0, step)])
-        take = v >= sv  # earlier position wins ties
+        so = jnp.pad(off8[..., step:], pad_cfg + [(0, step)])
+        # the left span's candidate always has the smaller absolute index
+        # (its offset < step <= any right candidate's step + offset), so
+        # v >= sv keeps the first-occurrence tie rule
+        take = v >= sv
         v = jnp.where(take, v, sv)
-        i = jnp.where(take, i, si)
+        off8 = jnp.where(take, off8, so + jnp.int8(step))
 
     # window [c, c+w-1] (padded coords) = span at c combined with span at
     # c + w - span; the left (earlier) span wins ties
-    lv, li = v[..., :n], i[..., :n]
-    off = w - span
-    rv, ri = v[..., off : off + n], i[..., off : off + n]
+    shift = w - span
+    lv = v[..., :n]
+    rv = v[..., shift : shift + n]
     take_l = lv >= rv
-    return jnp.where(take_l, lv, rv), jnp.where(take_l, li, ri)
+    lo = off8[..., :n]
+    ro = off8[..., shift : shift + n]
+    pos = jnp.arange(n, dtype=jnp.int32) - half  # window start in bin coords
+    idx = pos + jnp.where(
+        take_l, lo.astype(jnp.int32), ro.astype(jnp.int32) + shift
+    )
+    return jnp.where(take_l, lv, rv), idx
 
 
 def _windowed_argmax(rows: jnp.ndarray, centers: jnp.ndarray, half: int, fft: int):

@@ -202,17 +202,20 @@ def main() -> int:
         ms = (time.perf_counter() - t0) / args.reps * 1000
         print(f"{name}: {ms:.1f} ms/block")
 
-    # DDC alone (banded, matmul FIR path)
+    # DDC alone (banded; modtap v2 when the geometry supports it)
     flat = iq.reshape(nb, -1, 2)
     ddc = jax.jit(
-        lambda st, x, tb: _ddc_block_banded(ddc_cfg, nb, False, st, x, tb)[1].sum()
+        lambda st, x, tb: _ddc_block_banded(ddc_cfg, nb, False, st, x, tb)[1]
+        .astype(jnp.int32)
+        .sum()
     )
     timed(ddc, ddc_state, flat, tables)
     t0 = time.perf_counter()
     for _ in range(args.reps):
         timed(ddc, ddc_state, flat, tables)
     ms = (time.perf_counter() - t0) / args.reps * 1000
-    print(f"DDC (banded matmul FIR, 2 slots): {ms:.1f} ms/block")
+    kind = "modtap v2" if ddc_cfg.modtap else "matmul FIR v1"
+    print(f"DDC (banded {kind}, 2 slots): {ms:.1f} ms/block")
     return 0
 
 

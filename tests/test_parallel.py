@@ -92,3 +92,87 @@ def test_time_sharded_ddc_matches_streaming():
     diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
     assert diff.max() <= 1
     assert (diff > 0).mean() < 0.02
+
+
+def test_time_sharded_scan_matches_serial():
+    """One band's detection frames sharded over 4 time shards, with
+    noise/averager carries stitched across seams (SURVEY.md section 7 hard
+    part) -- packed detector rows, spectrogram, and carried state match the
+    serial compact block over two consecutive blocks (covering the noise
+    learning -> ready transition and the averager warmup)."""
+    import functools
+
+    from rtl_sdr_scanner_tpu.models.scan_pipeline import _compact_scan_block
+    from rtl_sdr_scanner_tpu.parallel.sharded_scan import make_time_sharded_scan
+
+    n_time = 4
+    mesh = make_mesh(n_bands=1, n_time=n_time)
+    cfg = ScanConfig.create(RATE, frames_per_block=84)  # 21 frames per shard
+    group = cfg.fft_size * cfg.decimator_factor
+    group_size, top_k, s_keys = 63, 16, 4
+
+    rng = np.random.default_rng(3)
+    n = cfg.block_samples * 2
+    t = np.arange(n) / RATE
+    iq = 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    audio = np.sin(2 * np.pi * 700 * t)
+    phase = 2 * np.pi * 30000 * t + 2 * np.pi * 3000 * np.cumsum(audio) / RATE
+    iq += 0.4 * np.exp(1j * phase) * (t >= 2.2)  # keys on after learning
+    iq = iq.astype(np.complex64)
+
+    keys = jnp.asarray(np.full(s_keys, -1, dtype=np.int32))
+    valid = jnp.asarray(np.ones(cfg.fft_size, dtype=bool))
+    level = jnp.float32(8.0)
+    frame_ms = cfg.frame_interval_ms
+
+    sharded = make_time_sharded_scan(cfg, mesh, group_size, top_k)
+    serial = jax.jit(functools.partial(_compact_scan_block, cfg, group_size, top_k))
+
+    st_sh = init_scan_state(cfg, 0)
+    st_se = init_scan_state(cfg, 0)
+    acc = jnp.zeros((cfg.spectro_size,), dtype=jnp.float32)
+    row = 3 * (top_k + 16) + 1 + 2 * s_keys
+
+    for b in range(2):
+        blk = iq[b * cfg.block_samples : (b + 1) * cfg.block_samples].reshape(
+            cfg.frames_per_block, group
+        )
+        now = (
+            (b * cfg.frames_per_block + 1 + np.arange(cfg.frames_per_block)) * frame_ms
+        ).astype(np.int32)
+        st_sh, body, spectro, ready = sharded(
+            st_sh, jnp.asarray(blk), jnp.asarray(now), keys, valid, level
+        )
+        st_se, acc_out, outs = serial(
+            st_se, acc, jnp.asarray(blk), jnp.asarray(now), keys, valid, level,
+            jnp.float32(0.0),  # fresh accumulator each block
+        )
+        packed = np.asarray(outs.packed)
+        ref_body = packed[: cfg.frames_per_block * row].reshape(cfg.frames_per_block, row)
+        got = np.asarray(body)
+
+        k2 = top_k + 16
+        # values (powers) within block-form tolerance. Indices match except
+        # where per-shard cumsum prefixes flip a ~1 ulp near-tie in the
+        # boxcar sums (measured ~0.1%): those picks must be rank-equivalent
+        # (same candidate value at the same rank).
+        gi, ri = got[:, :k2], ref_body[:, :k2]
+        gv, rv = got[:, k2 : 2 * k2], ref_body[:, k2 : 2 * k2]
+        mism = gi != ri
+        assert mism.mean() < 0.005, mism.mean()
+        np.testing.assert_allclose(gv, rv, atol=2e-3)  # cand_val by rank
+        gb, rb = got[:, 2 * k2 : 3 * k2], ref_body[:, 2 * k2 : 3 * k2]
+        assert ((gb != rb) & ~mism).mean() < 0.005  # votes differ only at ties
+        np.testing.assert_array_equal(got[:, 3 * k2], ref_body[:, 3 * k2])  # count
+        np.testing.assert_allclose(got[:, 3 * k2 + 1 :], ref_body[:, 3 * k2 + 1 :], atol=2e-3)
+        np.testing.assert_allclose(np.asarray(spectro), np.asarray(acc_out), atol=5e-3)
+        assert bool(ready) == bool(outs.noise_ready)
+        # power rows come from differently-batched FFTs (84-frame serial vs
+        # 21-frame shards): tolerances cover that float noise
+        np.testing.assert_allclose(
+            np.asarray(st_sh.noise.threshold), np.asarray(st_se.noise.threshold), atol=2e-3
+        )
+        np.testing.assert_allclose(
+            np.asarray(st_sh.averager.ring), np.asarray(st_se.averager.ring), atol=2e-3
+        )
+        assert int(st_sh.averager.frames) == int(st_se.averager.frames)
