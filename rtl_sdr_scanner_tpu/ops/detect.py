@@ -89,24 +89,29 @@ def _margin_separated_top(rows: jnp.ndarray, k: int, submargin: int):
     (the reference's add loop can insert at most one signal per margin window,
     contains_with_margin collection_utils.h:16-27).
 
-    Cost: k argmax+mask sweeps over the rows (~30 MB of HBM traffic per
-    sweep at fft=131072 x 20 frames) -- cheap relative to the sort-based
-    top-k. (A top-m-subset variant was tried and reverted: materializing
-    per-segment top-m blows memory when m approaches the segment width.)
+    Cost: k read-only argmax sweeps over the rows. The suppression state is
+    a carried BOOL mask (1 byte/bin) applied on the fly, so each iteration
+    reads the f32 rows once and never rewrites them (the masked-f32-carry
+    form wrote 335 MB/iteration at 32 bands x fft 131072). (A top-m-subset
+    variant was tried and reverted: the greedy winners' global-rank bound is
+    (k-1)(2*submargin+1)+1 ~ 1600, and an exact top-1600 costs a full sort;
+    per-segment top-m also fails on all-tied sentinel rows.)
     """
     f, fft = rows.shape
     bins = jnp.arange(fft, dtype=jnp.int32)[None, :]
     neg = jnp.float32(-3.3e38)
 
     def body(carry, _):
-        cur = carry
+        supp = carry  # [F, fft] bool
+        cur = jnp.where(supp, neg, rows)
         idx = jnp.argmax(cur, axis=-1).astype(jnp.int32)  # [F]
         val = jnp.take_along_axis(cur, idx[:, None], axis=-1)[:, 0]
-        suppress = jnp.abs(bins - idx[:, None]) <= submargin
-        cur = jnp.where(suppress, neg, cur)
-        return cur, (val, idx)
+        supp = supp | (jnp.abs(bins - idx[:, None]) <= submargin)
+        return supp, (val, idx)
 
-    _, (vals, idxs) = jax.lax.scan(body, rows, None, length=k)
+    _, (vals, idxs) = jax.lax.scan(
+        body, jnp.zeros(rows.shape, dtype=bool), None, length=k
+    )
     return vals.T, idxs.T  # [F, k]
 
 
