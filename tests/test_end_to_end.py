@@ -131,3 +131,29 @@ def test_replay_scan_no_signal_no_transmissions(tmp_path):
     spectro = [p for t, p in mqtt.published if t.endswith("/spectrogram")]
     assert trans == []
     assert spectro, "spectrogram should flow regardless of detections"
+
+
+def test_compact_vs_full_spectrogram_parity(tmp_path):
+    """ADVICE r1: compact mode accumulates spectrogram bin sums in f32 ON
+    DEVICE across the 1 Hz send interval (scan_pipeline spectro_acc) while
+    full-row mode accumulates f64 on host -- the truncating int8 quantization
+    may then differ by 1 at trunc boundaries. Assert the payload streams
+    match within that documented bound."""
+    capture = tmp_path / "fm.cf32"
+    _write_capture(capture)
+
+    payloads = {}
+    for compact in (False, True):
+        cfg = _config(tmp_path, capture, compact=compact)
+        mqtt = NullMqtt()
+        mqtt.keep_payloads = True
+        Scanner(cfg, cfg.devices[0], mqtt, recorders_count=2).run_to_completion()
+        payloads[compact] = [
+            decode_spectrogram(p) for t, p in mqtt.published if t.endswith("/spectrogram")
+        ]
+
+    assert len(payloads[True]) == len(payloads[False]) > 0
+    for (tc, c0, c1, cs, cb), (tf, f0, f1, fs, fb) in zip(payloads[True], payloads[False]):
+        assert (tc, c0, c1, cs) == (tf, f0, f1, fs)
+        diff = np.abs(cb.astype(np.int32) - fb.astype(np.int32))
+        assert diff.max() <= 1, diff.max()
