@@ -136,12 +136,12 @@ def _frames_power(cfg: ScanConfig, iq: jnp.ndarray) -> jnp.ndarray:
         return psd_frames_int8_pallas(
             iq, float(cfg.sample_rate), cfg.fft_size, cfg.decimator_factor
         )
+    iq = iq[:, : cfg.fft_size]  # Decimator FIRST: dequant only what the FFT eats
     if iq.dtype == jnp.int8:
         iq = dequantize_cs8(iq)
     elif iq.ndim == 3:
         iq = pairs_to_complex(iq)
-    frames = iq[:, : cfg.fft_size]  # Decimator: first fft of each group
-    return psd_frames(frames, float(cfg.sample_rate))
+    return psd_frames(iq, float(cfg.sample_rate))
 
 
 def _scan_block(

@@ -63,11 +63,19 @@ def psd_frames(frames: jnp.ndarray, sample_rate: float, window: np.ndarray | Non
 
     out = 10*log10(|FFT(frame*hamming)|^2 / sample_rate), bins centered on DC
     (reference psd.cpp:19 + fft_v hamming/shift at sdr_device.cpp:164).
+
+    The fftshift is folded into the window: FFT(x * (-1)^n)[k] =
+    FFT(x)[(k + N/2) mod N] for even N, so multiplying the (already applied)
+    window by the alternating sign makes the output permutation free --
+    no post-FFT roll of the complex spectrum through HBM.
     """
     fft_size = frames.shape[-1]
     if window is None:
         window = hamming(fft_size)
-    spec = jnp.fft.fft(frames * window)
-    spec = jnp.fft.fftshift(spec, axes=-1)
+    if fft_size % 2 == 0:
+        signs = np.where(np.arange(fft_size) % 2 == 0, 1.0, -1.0).astype(np.float32)
+        spec = jnp.fft.fft(frames * (window * signs))
+    else:
+        spec = jnp.fft.fftshift(jnp.fft.fft(frames * window), axes=-1)
     power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2
     return (10.0 * jnp.log10(jnp.maximum(power, _EPS) / sample_rate)).astype(jnp.float32)

@@ -269,3 +269,139 @@ def test_compact_matches_full_randomized(seed):
 
     covered(act_full, act_cmp)
     covered(act_cmp, act_full)
+
+
+@pytest.mark.parametrize("seed", [5, 23])
+def test_compact_matches_full_dense_scene(seed):
+    """Denser stress: 5 random signals (more than TOP_K/GROUP clusters can
+    crowd), same behavioral containment contract."""
+    rng = np.random.default_rng(seed)
+    cfg = ScanConfig.create(RATE, frames_per_block=10)
+    iq = _make_iq(rng, signals=_random_signals(rng, 5))
+    full_log, cmp_log = _run_both(iq, cfg)
+
+    margin_hz = int(GROUP * cfg.step_hz)
+
+    def activity(log):
+        spans = {}
+        for t, shifts in log:
+            for s, _ in shifts:
+                lo, hi = spans.get(s, (t, t))
+                spans[s] = (min(lo, t), max(hi, t))
+        return spans
+
+    act_full, act_cmp = activity(full_log), activity(cmp_log)
+    assert act_full and act_cmp
+
+    def covered(spans_a, spans_b):
+        for s, (lo, hi) in spans_a.items():
+            if hi - lo < 400:
+                continue
+            near = [
+                (lo2, hi2) for s2, (lo2, hi2) in spans_b.items() if abs(s2 - s) <= margin_hz
+            ]
+            assert near, (s, sorted(spans_b))
+            overlap = max(min(h, hi) - max(l, lo) for l, h in near)
+            assert overlap > 0.5 * (hi - lo), (s, (lo, hi), near)
+
+    covered(act_full, act_cmp)
+    covered(act_cmp, act_full)
+
+
+def test_compact_key_slot_starvation():
+    """More live signals than KEY_SLOTS: overflowed signals fall back to the
+    candidate-based update path; they must still track and time out."""
+    rng = np.random.default_rng(11)
+    cfg = ScanConfig.create(RATE, frames_per_block=10)
+    signals = [(-80_000 + 32_000 * i, 500 + 200 * i, 3.0, 6.0) for i in range(5)]
+    iq = _make_iq(rng, signals=signals)
+
+    group = cfg.fft_size * cfg.decimator_factor
+    n_blocks = len(iq) // cfg.block_samples
+    frame_ms = cfg.frame_interval_ms
+    compact_step = make_compact_scan_step(cfg, GROUP, TOP_K)
+    tracker = _make_tracker(cfg)
+    state = init_scan_state(cfg)
+    sp_acc = init_spectro_acc(cfg)
+    valid = jnp.asarray(np.ones(cfg.fft_size, dtype=bool))
+    tiny_slots = 2  # starved: 5 live signals, 2 key slots
+
+    spans = {}
+    for b in range(n_blocks):
+        block = iq[b * cfg.block_samples : (b + 1) * cfg.block_samples]
+        framed = jnp.asarray(block.reshape(cfg.frames_per_block, group))
+        now = (
+            (b * cfg.frames_per_block + 1 + np.arange(cfg.frames_per_block)) * frame_ms
+        ).astype(np.int32)
+        slot_keys = tracker.current_keys(tiny_slots)
+        state, sp_acc, oc = compact_step(
+            state, sp_acc, framed, jnp.asarray(now), jnp.asarray(slot_keys), valid,
+            jnp.float32(8.0), jnp.float32(1.0),
+        )
+        c = oc.compact
+        ci, cv = np.asarray(c.cand_idx), np.asarray(c.cand_val)
+        cb, cc = np.asarray(c.cand_best), np.asarray(c.cand_count)
+        kv, ki = np.asarray(c.key_val), np.asarray(c.key_idx)
+        for k in range(cfg.frames_per_block):
+            for s, _ in tracker.process_compact(
+                ci[k], cv[k], cb[k], int(cc[k]), slot_keys, kv[k], ki[k], int(now[k])
+            ):
+                lo, hi = spans.get(s, (int(now[k]), int(now[k])))
+                spans[s] = (min(lo, int(now[k])), max(hi, int(now[k])))
+
+    # every keyed signal tracked for most of its 3 s window despite starvation
+    for shift_hz, _, _, _ in signals:
+        near = [
+            (lo, hi) for s, (lo, hi) in spans.items() if abs(s - shift_hz) <= 16_000
+        ]
+        assert near, (shift_hz, sorted(spans))
+        assert max(hi - lo for lo, hi in near) > 1500, (shift_hz, near)
+    # and nothing outlives the stream (timeout must close signals)
+    assert all(hi <= 8000 for _, hi in spans.values())
+
+
+def test_compact_respects_valid_mask():
+    """An ignored band (valid mask false) must suppress detection in BOTH
+    candidate and margin-separated paths."""
+    rng = np.random.default_rng(13)
+    cfg = ScanConfig.create(RATE, frames_per_block=10)
+    iq = _make_iq(rng, signals=[(SHIFT_HZ, 800, 3.0, 6.0), (-50_000, 1200, 3.0, 6.0)])
+
+    # mask out the +SHIFT_HZ band
+    center_bin = int((SHIFT_HZ + RATE / 2) / cfg.step_hz)
+    mask = np.ones(cfg.fft_size, dtype=bool)
+    mask[center_bin - GROUP : center_bin + GROUP] = False
+
+    group = cfg.fft_size * cfg.decimator_factor
+    n_blocks = len(iq) // cfg.block_samples
+    frame_ms = cfg.frame_interval_ms
+    compact_step = make_compact_scan_step(cfg, GROUP, TOP_K)
+    tracker = _make_tracker(cfg)
+    state = init_scan_state(cfg)
+    sp_acc = init_spectro_acc(cfg)
+    valid = jnp.asarray(mask)
+
+    seen = set()
+    for b in range(n_blocks):
+        block = iq[b * cfg.block_samples : (b + 1) * cfg.block_samples]
+        framed = jnp.asarray(block.reshape(cfg.frames_per_block, group))
+        now = (
+            (b * cfg.frames_per_block + 1 + np.arange(cfg.frames_per_block)) * frame_ms
+        ).astype(np.int32)
+        slot_keys = tracker.current_keys(KEY_SLOTS)
+        state, sp_acc, oc = compact_step(
+            state, sp_acc, framed, jnp.asarray(now), jnp.asarray(slot_keys), valid,
+            jnp.float32(8.0), jnp.float32(1.0),
+        )
+        c = oc.compact
+        ci, cv = np.asarray(c.cand_idx), np.asarray(c.cand_val)
+        cb, cc = np.asarray(c.cand_best), np.asarray(c.cand_count)
+        kv, ki = np.asarray(c.key_val), np.asarray(c.key_idx)
+        for k in range(cfg.frames_per_block):
+            for s, _ in tracker.process_compact(
+                ci[k], cv[k], cb[k], int(cc[k]), slot_keys, kv[k], ki[k], int(now[k])
+            ):
+                seen.add(s)
+
+    assert any(abs(s - (-50_000)) <= 16_000 for s in seen), seen  # unmasked tracked
+    assert not any(abs(s - SHIFT_HZ) <= 8_000 for s in seen), seen  # masked silent
