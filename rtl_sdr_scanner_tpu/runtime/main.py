@@ -35,8 +35,13 @@ def _handler(signum, frame):
 
 def run(config_file: str) -> int:
     global _is_running
-    signal.signal(signal.SIGINT, _handler)
-    signal.signal(signal.SIGTERM, _handler)
+    try:
+        signal.signal(signal.SIGINT, _handler)
+        signal.signal(signal.SIGTERM, _handler)
+    except ValueError:
+        # not the main thread (embedded/test use): the embedder owns signals
+        # and stops via main._is_running
+        pass
 
     logger.configure()
     logger.info(LABEL, "starting")

@@ -1,0 +1,127 @@
+"""Application lifecycle: the reload loop of runtime/main.py.
+
+Reference stack E (SURVEY.md section 3): remote config update -> persist ->
+tear down scanners -> rebuild everything; SIGINT-style stop exits cleanly.
+"""
+
+import json
+import threading
+import time
+
+import numpy as np
+
+from rtl_sdr_scanner_tpu.runtime import main as main_mod
+from rtl_sdr_scanner_tpu.runtime.config import default_config_json
+from rtl_sdr_scanner_tpu.runtime.mqtt_client import NullMqtt
+
+RATE = 256000
+CENTER = 145_000_000
+
+
+def _write_capture(path, seconds=2.0):
+    rng = np.random.default_rng(0)
+    n = int(RATE * seconds)
+    iq = 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    iq.astype(np.complex64).view(np.float32).tofile(path)
+
+
+def _config_json(capture):
+    raw = default_config_json()
+    raw["recording"] = {
+        "max_noise_time_ms": 1000,
+        "min_sample_rate": 16000,
+        "min_time_ms": 1000,
+        "step": 2500,
+    }
+    raw["devices"] = [
+        {
+            "enabled": True,
+            "serial": "replay0",
+            "driver": "replay",
+            "sample_rate": RATE,
+            "start_recording_level": 8,
+            "stop_recording_level": 5,
+            "gains": [],
+            "ranges": [{"start": CENTER - 100000, "stop": CENTER + 100000}],
+            "file": str(capture),
+            "file_format": "cf32",
+        }
+    ]
+    return raw
+
+
+def test_main_run_reload_and_stop(tmp_path, monkeypatch):
+    capture = tmp_path / "cap.cf32"
+    _write_capture(capture)
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(_config_json(capture)))
+
+    mqtts = []
+
+    def fake_make_mqtt(config):
+        m = NullMqtt()
+        m.keep_payloads = True
+        mqtts.append(m)
+        return m
+
+    monkeypatch.setattr(main_mod, "make_mqtt", fake_make_mqtt)
+    main_mod._is_running = True
+
+    result = {}
+    t = threading.Thread(target=lambda: result.setdefault("rc", main_mod.run(str(cfg_path))))
+    t.start()
+    try:
+        deadline = time.time() + 60
+        while not mqtts and time.time() < deadline:
+            time.sleep(0.05)
+        assert mqtts, "runtime did not start"
+
+        # remote config update (stack E): inject on sdr/config/{id}; the
+        # runtime must persist the new config and rebuild the world
+        first = mqtts[0]
+        topic = next(t for t, _ in first._callbacks if t.startswith("sdr/config/"))
+        new_cfg = _config_json(capture)
+        new_cfg["workers"] = 3
+        first.inject(topic, json.dumps(new_cfg))
+
+        deadline = time.time() + 60
+        while len(mqtts) < 2 and time.time() < deadline:
+            time.sleep(0.05)
+        assert len(mqtts) >= 2, "reload did not rebuild the runtime"
+        saved = json.loads(cfg_path.read_text())
+        assert saved["workers"] == 3  # persisted (config.cpp:110-123 shape)
+        # ack published on .../success (remote_controller.cpp:37)
+        assert any(t.endswith("/success") for t, _ in first.published)
+    finally:
+        main_mod._is_running = False
+        t.join(timeout=60)
+    assert result.get("rc") == 0
+
+
+def test_main_skips_disabled_and_empty_devices(tmp_path, monkeypatch):
+    capture = tmp_path / "cap.cf32"
+    _write_capture(capture, seconds=0.5)
+    raw = _config_json(capture)
+    raw["devices"][0]["enabled"] = False
+    raw["devices"].append(dict(raw["devices"][0], enabled=True, serial="r2", ranges=[]))
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(raw))
+
+    scanners_made = []
+    import rtl_sdr_scanner_tpu.runtime.scanner as scanner_mod
+
+    real_scanner = scanner_mod.Scanner
+    monkeypatch.setattr(
+        main_mod, "Scanner", lambda *a, **k: scanners_made.append(1) or real_scanner(*a, **k)
+    )
+    monkeypatch.setattr(main_mod, "make_mqtt", lambda cfg: NullMqtt())
+
+    main_mod._is_running = True
+
+    def stop_soon():
+        time.sleep(1.0)
+        main_mod._is_running = False
+
+    threading.Thread(target=stop_soon).start()
+    assert main_mod.run(str(cfg_path)) == 0
+    assert scanners_made == []  # both devices skipped (main.cpp:51-63 rules)
