@@ -18,7 +18,6 @@ Two device programs:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,7 +31,7 @@ from rtl_sdr_scanner_tpu.models.scan_pipeline import (
     _scan_block,
     init_scan_state,
 )
-from rtl_sdr_scanner_tpu.ops.ddc import NcoTables, chain_output_length
+from rtl_sdr_scanner_tpu.ops.ddc import NcoTables
 from rtl_sdr_scanner_tpu.parallel.halo import resample_chain_sharded
 from rtl_sdr_scanner_tpu.parallel.mesh import BANDS_AXIS, TIME_AXIS, band_sharding
 

@@ -272,3 +272,9 @@ class WidebandScanner:
         if self._thread is not None:
             self._thread.join(timeout=10)
             self._thread = None
+        # release the hardware like Scanner.stop (SdrDevice dtor parity,
+        # sdr_device.cpp:47-52)
+        if hasattr(self._source, "stop_streaming"):
+            self._source.stop_streaming()
+        if hasattr(self._source, "close"):
+            self._source.close()

@@ -80,6 +80,49 @@ def sliding_argmax_vanherk(rows, half):
     return val, idx
 
 
+def sliding_argmax_levels(rows, half, max_levels):
+    """Doubling table stopped early: span 2^max_levels, multi-span combine.
+
+    Fewer full-array level passes, more (cheap) combine lookups; exact."""
+    import jax.numpy as jnp
+
+    *lead, n = rows.shape
+    w = 2 * half + 1
+    j_max = 0
+    while (1 << (j_max + 1)) <= w and j_max + 1 <= max_levels:
+        j_max += 1
+    span = 1 << j_max
+    neg = -jnp.inf
+    total = n + 2 * half + span
+    pad_cfg = [(0, 0)] * len(lead)
+    v = jnp.pad(
+        rows.astype(jnp.float32), pad_cfg + [(half, total - n - half)], constant_values=neg
+    )
+    off8 = jnp.zeros(v.shape, dtype=jnp.int8)
+    for j in range(j_max):
+        step = 1 << j
+        sv = jnp.pad(v[..., step:], pad_cfg + [(0, step)], constant_values=neg)
+        so = jnp.pad(off8[..., step:], pad_cfg + [(0, step)])
+        take = v >= sv
+        v = jnp.where(take, v, sv)
+        off8 = jnp.where(take, off8, so + jnp.int8(step))
+
+    # cover [c, c+w-1] with ceil(w/span) spans; left-to-right keeps first-idx
+    import numpy as _np
+
+    starts = list(range(0, w - span, span)) + [w - span]
+    pos = jnp.arange(n, dtype=jnp.int32) - half
+    bv = v[..., :n]
+    bi = pos + off8[..., :n].astype(jnp.int32)
+    for s in starts[1:]:
+        cv = v[..., s : s + n]
+        ci = pos + s + off8[..., s : s + n].astype(jnp.int32)
+        take = bv >= cv
+        bv = jnp.where(take, bv, cv)
+        bi = jnp.where(take, bi, ci)
+    return bv, bi
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--bands", type=int, default=32)
@@ -105,9 +148,14 @@ def main() -> int:
             if trial == 2:
                 rows = np.round(rows)  # force ties
             v0, i0 = jax.jit(lambda r: sliding_argmax(r, half))(rows)
-            v1, i1 = jax.jit(lambda r: sliding_argmax_vanherk(r, half))(rows)
-            np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
-            np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+            for alt in (
+                lambda r: sliding_argmax_vanherk(r, half),
+                lambda r: sliding_argmax_levels(r, half, 5),
+                lambda r: sliding_argmax_levels(r, half, 4),
+            ):
+                v1, i1 = jax.jit(alt)(rows)
+                np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+                np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
         print("equivalence OK (incl. ties)")
         return 0
 
@@ -125,6 +173,8 @@ def main() -> int:
 
     for name, fn in (
         ("doubling", sliding_argmax),
+        ("doubling-5lvl", lambda r, h: sliding_argmax_levels(r, h, 5)),
+        ("doubling-4lvl", lambda r, h: sliding_argmax_levels(r, h, 4)),
         ("vanherk", sliding_argmax_vanherk),
     ):
         prog = jax.jit(

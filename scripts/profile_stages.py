@@ -100,7 +100,16 @@ def main() -> int:
         av, mean_rows = averager_block(st.averager, raw)
         avg_rows = sliding_average(mean_rows, cfg.grouping_x)
         c = compact_detection(avg_rows, raw, prev_tail, keys, valid, level, group_size, 64)
-        return c.cand_val
+        # reduce EVERY output so XLA cannot dead-code-eliminate the history
+        # vote / key argmax out of the cumulative number
+        return (
+            jnp.sum(c.cand_val)
+            + jnp.sum(c.cand_best)
+            + jnp.sum(c.cand_count)
+            + jnp.sum(c.key_val)
+            + jnp.sum(c.key_idx)
+            + jnp.sum(c.cand_idx)
+        )
 
     probes = {
         "power (dequant+frame+fft+psd)": upto_power,
