@@ -82,6 +82,12 @@ class Tunables:
     # the north-star replacement for the reference's sequential 500 ms
     # band hops (scanner.cpp:46-60): one pod watches every band at once.
     mesh_bands: int = 0
+    # multi-chip: shard ONE band's detection frames over an N-device "time"
+    # mesh axis with detector-state stitching across shard seams
+    # (parallel/sharded_scan.make_time_sharded_scan) -- for ingest rates
+    # beyond a single chip's FFT/PSD throughput. 0 = off. Requires compact
+    # detection; frames_per_block is grown to N * grouping_y if needed.
+    mesh_time: int = 0
 
 
 # Module-level default instance; runtime code takes a Tunables argument and

@@ -63,6 +63,13 @@ class RecorderSlot:
         return self.shift is not None
 
 
+class _TimeMeshOuts:
+    """Packed-rows adapter: finish_block reads .packed like compact mode."""
+
+    def __init__(self, packed):
+        self.packed = packed
+
+
 class SpectroContainer:
     """Per-center-frequency spectrogram accumulator (spectrogram.cpp:9,45-60)."""
 
@@ -106,7 +113,10 @@ class SdrDevice:
         cfg0 = self.scan_cfg
         self._group_size_early = int(math.ceil(config.recording_bandwidth / cfg0.step_hz))
         self._compact = self._tunables.compact_detection
-        if self._compact:
+        self._time_mesh = None
+        if self._compact and self._tunables.mesh_time > 0:
+            self._setup_time_mesh(config)
+        elif self._compact:
             from rtl_sdr_scanner_tpu.models.scan_pipeline import make_compact_scan_step
 
             self._scan_step = make_compact_scan_step(
@@ -198,6 +208,49 @@ class SdrDevice:
             format_frequency(device.sample_rate),
             recorders_count,
         )
+
+    # -- time-axis multi-chip (tunables.mesh_time) ---------------------------
+
+    def _setup_time_mesh(self, config: Config) -> None:
+        """ONE band's detection frames sharded across an N-device time mesh
+        (parallel/sharded_scan.make_time_sharded_scan): the north-star answer
+        for ingest rates beyond a single chip. Detector carries are stitched
+        across shard seams; the host consumes identical compact rows.
+
+        The DDC stays single-device here (recordings are ~kHz-rate); the
+        library's make_time_sharded_ddc covers time-sharded recording."""
+        import dataclasses
+
+        import jax
+
+        from rtl_sdr_scanner_tpu.parallel.mesh import make_mesh
+        from rtl_sdr_scanner_tpu.parallel.sharded_scan import make_time_sharded_scan
+
+        n = min(self._tunables.mesh_time, len(jax.devices()))
+        cfg = self.scan_cfg
+        # frames must split evenly with >= grouping_y frames per shard AND
+        # keep the DDC block divisibility already folded into frames
+        base = cfg.frames_per_block
+        frames = base
+        while frames % n != 0 or frames // n < cfg.grouping_y:
+            frames += base
+        if frames != base:
+            logger.info(
+                LABEL, "frames per block adjusted for time mesh: {} -> {}", base, frames
+            )
+            self.scan_cfg = cfg = dataclasses.replace(cfg, frames_per_block=frames)
+            self.ddc_cfg = ddc_pipeline.DdcConfig.create(
+                self._device.sample_rate,
+                config.recording_bandwidth,
+                self.ddc_cfg.num_slots,
+                cfg.block_samples,
+                self._tunables.resampler_threshold,
+            )
+        self._time_mesh = make_mesh(n_bands=1, n_time=n)
+        self._scan_step = make_time_sharded_scan(
+            cfg, self._time_mesh, self._group_size_early, self._tunables.detection_top_k
+        )
+        logger.info(LABEL, "time mesh: {} devices, {} frames/shard", n, frames // n)
 
     # -- geometry ----------------------------------------------------------
 
@@ -298,6 +351,31 @@ class SdrDevice:
         ).astype(np.int32)
 
         slot_keys = None
+        if self._time_mesh is not None:
+            if self._valid_mask_dev is None:
+                self._valid_mask_dev = jnp.asarray(self._tracker._compute_valid_mask())
+            slot_keys = self._tracker.current_keys(self._tunables.detection_key_slots)
+            self._scan_state, body, spectro_sum, ready = self._scan_step(
+                self._scan_state,
+                framed,
+                jnp.asarray(now_arr),
+                jnp.asarray(slot_keys),
+                self._valid_mask_dev,
+                jnp.float32(self._device.start_level),
+            )
+            packed = jnp.concatenate(
+                [body.reshape(-1), ready.astype(jnp.float32)[None]]
+            )
+            self._noise_states[self._pending_noise_center] = self._scan_state.noise
+            return {
+                "outs": _TimeMeshOuts(packed),
+                "iq_dev": iq_dev if iq_dev is not None else framed,
+                "iq_is_int8": iq.dtype == np.int8,
+                "now_arr": now_arr,
+                "slot_keys": slot_keys,
+                "block_start_ms": block_start_ms,
+                "spectro_sum": spectro_sum,
+            }
         if self._compact:
             if self._valid_mask_dev is None:
                 self._valid_mask_dev = jnp.asarray(self._tracker._compute_valid_mask())
@@ -416,6 +494,11 @@ class SdrDevice:
             # banded mesh mode: the owner drains the [bands, size] device
             # accumulator and feeds ingest_spectro at the send cadence
             pass
+        elif "spectro_sum" in handle:
+            # time-mesh mode returns the block's psum'd spectro sum directly
+            self._accumulate_spectrogram(
+                np.asarray(handle["spectro_sum"]), int(now_arr[-1])
+            )
         elif self._compact:
             self._maybe_send_spectrogram(int(now_arr[-1]))
         else:

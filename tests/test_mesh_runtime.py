@@ -124,3 +124,74 @@ def test_mesh_runtime_uneven_bands_falls_back(tmp_path):
     published = _run(tmp_path, capture, mesh_bands=-1)
     trans = [p for t, p in published if t.endswith("/transmission/uint8")]
     assert trans
+
+
+def test_time_mesh_runtime_matches_serial(tmp_path):
+    """tunables.mesh_time=N: ONE band's detection frames sharded over an
+    N-device time mesh from the application config (SdrDevice
+    _setup_time_mesh), payload-equal to the serial compact path."""
+    from rtl_sdr_scanner_tpu.runtime.scanner import Scanner
+
+    rate = 256000
+    center = 145_000_000
+    rng = np.random.default_rng(21)
+    secs = 8.0
+    n = int(rate * secs)
+    t = np.arange(n) / rate
+    iq = 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    audio = np.sin(2 * np.pi * 900 * t)
+    phase = 2 * np.pi * 30000 * t + 2 * np.pi * 3000 * np.cumsum(audio) / rate
+    iq += 0.4 * np.exp(1j * phase) * ((t >= 3.0) & (t < 6.0))
+    capture = tmp_path / "one.cf32"
+    iq.astype(np.complex64).view(np.float32).tofile(capture)
+
+    def run(mesh_time):
+        raw = default_config_json()
+        raw["tunables"] = {"frames_per_block": 96, "mesh_time": mesh_time}
+        raw["recording"] = {
+            "max_noise_time_ms": 1000,
+            "min_sample_rate": 16000,
+            "min_time_ms": 1000,
+            "step": 2500,
+        }
+        raw["devices"] = [
+            {
+                "enabled": True,
+                "serial": "one0",
+                "driver": "replay",
+                "sample_rate": rate,
+                "start_recording_level": 8,
+                "stop_recording_level": 5,
+                "gains": [],
+                "ranges": [{"start": center - 100000, "stop": center + 100000}],
+                "file": str(capture),
+                "file_format": "cf32",
+            }
+        ]
+        p = tmp_path / f"cfg_{mesh_time}.json"
+        p.write_text(json.dumps(raw))
+        cfg = Config.load_from_file(str(p), scan_hardware=False)
+        mqtt = NullMqtt()
+        mqtt.keep_payloads = True
+        scanner = Scanner(cfg, cfg.devices[0], mqtt, recorders_count=2)
+        if mesh_time:
+            assert scanner.device._time_mesh is not None
+        scanner.run_to_completion()
+        return mqtt.published
+
+    serial = run(0)
+    meshed = run(4)
+
+    s_trans = [p for t_, p in serial if t_.endswith("/transmission/uint8")]
+    m_trans = [p for t_, p in meshed if t_.endswith("/transmission/uint8")]
+    assert s_trans, "no transmissions"
+    assert len(s_trans) == len(m_trans)
+    for ps, pm in zip(s_trans, m_trans):
+        assert ps == pm, "transmission payload diverged (time mesh vs serial)"
+
+    s_spec = [decode_spectrogram(p) for t_, p in serial if t_.endswith("/spectrogram")]
+    m_spec = [decode_spectrogram(p) for t_, p in meshed if t_.endswith("/spectrogram")]
+    assert len(s_spec) == len(m_spec) > 0
+    for (ts, a0, a1, st, sb), (tm, b0, b1, mt, mb) in zip(s_spec, m_spec):
+        assert (ts, a0, a1, st) == (tm, b0, b1, mt)
+        assert np.abs(sb.astype(np.int32) - mb.astype(np.int32)).max() <= 1
