@@ -115,26 +115,34 @@ def _margin_separated_top(rows: jnp.ndarray, k: int, submargin: int):
     return vals.T, idxs.T  # [F, k]
 
 
-def sliding_argmax(rows: jnp.ndarray, half: int):
+def sliding_argmax(rows: jnp.ndarray, half: int, max_levels: int = 4):
     """(max value, FIRST-max index) over the clamped window [c-half, c+half]
-    for EVERY center c, via a sparse table (doubling) + two-lookup combine.
+    for EVERY center c, via a sparse table (doubling) + multi-span combine.
 
     rows: [..., n] -> (values [..., n] f32, indices [..., n] i32).
 
     Pure shifted slices: level j combines each position with the one 2^j to
-    its right; a window of width w is then the combine of two overlapping
-    2^J spans (J = floor(log2 w)) -- overlap is harmless for max, and
-    first-occurrence index survives because the earlier span wins ties.
-    Arbitrary-index gathers are scalar-slow on TPU; this replaces the
-    per-candidate window gather that dominated the scan step. Edge windows
-    shrink like the host get_max_index (the -inf padding never wins).
+    its right; a window of width w is then the combine of ceil(w / 2^J)
+    overlapping 2^J spans left-to-right -- overlap is harmless for max, and
+    first-occurrence index survives because the earlier span wins ties
+    (a later span's equal-valued smaller index would lie inside an earlier
+    span, contradiction). Arbitrary-index gathers are scalar-slow on TPU;
+    this replaces the per-candidate window gather that dominated the scan
+    step. Edge windows shrink like the host get_max_index (the -inf padding
+    never wins).
+
+    max_levels trades full-array level passes for extra (cheap) combine
+    lookups; 4 levels (span 16, 7 lookups at w=103) measured 10% faster than
+    6 levels + 2 lookups on v5e (scripts/profile_slidemax.py A/B). The
+    argmax rides the levels as an int8 OFFSET from the span anchor (4x less
+    index traffic than absolute int32); absolute indices materialize once.
     """
     *lead, n = rows.shape
     w = 2 * half + 1
     j_max = 0
-    while (1 << (j_max + 1)) <= w:
+    while (1 << (j_max + 1)) <= w and j_max + 1 <= max_levels:
         j_max += 1
-    span = 1 << j_max  # largest power of two <= w
+    span = 1 << j_max  # span actually built, <= largest pow2 <= w
     assert span <= 128, "int8 offset encoding bounds the window span at 128"
     neg = -jnp.inf
     # padded coords: real bin b at position b + half; lookups reach
@@ -142,9 +150,6 @@ def sliding_argmax(rows: jnp.ndarray, half: int):
     total = n + 2 * half + span
     pad_cfg = [(0, 0)] * len(lead)
     v = jnp.pad(rows.astype(jnp.float32), pad_cfg + [(half, total - n - half)], constant_values=neg)
-    # the argmax is tracked as an int8 OFFSET from the span anchor (idx - pos,
-    # < span <= 128): 4x less index traffic than absolute int32 through the
-    # doubling levels; absolute indices materialize once at the end
     off8 = jnp.zeros(v.shape, dtype=jnp.int8)
 
     for j in range(j_max):
@@ -158,19 +163,18 @@ def sliding_argmax(rows: jnp.ndarray, half: int):
         v = jnp.where(take, v, sv)
         off8 = jnp.where(take, off8, so + jnp.int8(step))
 
-    # window [c, c+w-1] (padded coords) = span at c combined with span at
-    # c + w - span; the left (earlier) span wins ties
-    shift = w - span
-    lv = v[..., :n]
-    rv = v[..., shift : shift + n]
-    take_l = lv >= rv
-    lo = off8[..., :n]
-    ro = off8[..., shift : shift + n]
+    # cover [c, c+w-1] (padded coords) with spans at c, c+span, ...,
+    # c+w-span; left-to-right combine keeps the first-occurrence rule
+    starts = list(range(0, w - span, span)) + [w - span]
     pos = jnp.arange(n, dtype=jnp.int32) - half  # window start in bin coords
-    idx = pos + jnp.where(
-        take_l, lo.astype(jnp.int32), ro.astype(jnp.int32) + shift
-    )
-    return jnp.where(take_l, lv, rv), idx
+    bv = v[..., :n]
+    bi = pos + off8[..., :n].astype(jnp.int32)
+    for s in starts[1:]:
+        cv = v[..., s : s + n]
+        take = bv >= cv
+        bv = jnp.where(take, bv, cv)
+        bi = jnp.where(take, bi, pos + s + off8[..., s : s + n].astype(jnp.int32))
+    return bv, bi
 
 
 def _windowed_argmax(rows: jnp.ndarray, centers: jnp.ndarray, half: int, fft: int):
