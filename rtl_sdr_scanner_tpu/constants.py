@@ -82,6 +82,12 @@ class Tunables:
     # the north-star replacement for the reference's sequential 500 ms
     # band hops (scanner.cpp:46-60): one pod watches every band at once.
     mesh_bands: int = 0
+    # wideband mode: 2 = split the front-end through a 2x-OVERSAMPLED
+    # polyphase bank (each sub-band stream at 2R/B with a flat passband over
+    # its whole R/B core), so transmissions straddling sub-band boundaries
+    # are captured cleanly -- the critically-sampled bank (1, default,
+    # cheaper) attenuates them like the reference's hop-range edges do.
+    channelizer_oversample: int = 1
     # multi-chip: shard ONE band's detection frames over an N-device "time"
     # mesh axis with detector-state stitching across shard seams
     # (parallel/sharded_scan.make_time_sharded_scan) -- for ingest rates

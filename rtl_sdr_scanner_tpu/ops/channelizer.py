@@ -42,18 +42,26 @@ class ChannelizerPlan(NamedTuple):
 
 
 @functools.lru_cache(maxsize=16)
-def plan_channelizer(num_channels: int, taps_per_branch: int = 0) -> ChannelizerPlan:
+def plan_channelizer(
+    num_channels: int, taps_per_branch: int = 0, oversample: int = 1
+) -> ChannelizerPlan:
     """Design the prototype and split it into branch filters.
 
-    Prototype: Kaiser low-pass, gain 1, cutoff at half the channel width with
-    a transition of 20% of the channel (same firdes as the DDC chain).
+    Prototype: Kaiser low-pass, gain 1 (same firdes as the DDC chain).
+    Critically sampled (oversample=1): cutoff at half the channel spacing,
+    20% transition. 2x-oversampled: the output Nyquist doubles, so the
+    passband WIDENS to cover the whole +-half-spacing core flat
+    (cutoff 0.7, transition 0.35 of the spacing; stopband at ~0.875 is
+    still inside the 2x alias-free zone) -- edge-straddling signals stay
+    unattenuated in the channel that owns them.
     """
     b = num_channels
+    cutoff, trans = (0.5, 0.2) if oversample == 1 else (0.7, 0.35)
     proto = firdes_low_pass(
         gain=1.0,
         sampling_freq=float(b),
-        cutoff=0.5,
-        transition_width=0.2,
+        cutoff=cutoff,
+        transition_width=trans,
     )
     # branch filters h_p[j] = h[j*B - p]; front-pad so j starts at 0
     g = np.concatenate([np.zeros(b - 1), proto])
@@ -130,6 +138,81 @@ def channelize_block_pairs(
     """
     x = jax.lax.complex(x_pairs[:, 0], x_pairs[:, 1])
     state, channels = channelize_block(plan, state, x)
+    return state, jnp.stack([jnp.real(channels), jnp.imag(channels)], axis=-1)
+
+
+# -- 2x-oversampled analysis bank -------------------------------------------
+#
+# The critically-sampled bank attenuates signals straddling channel edges
+# (the module caveat above). Oversampling by 2 makes each channel's output
+# rate 2R/B while its CORE range stays R/B wide: every frequency lies fully
+# inside the passband of the channel whose core contains it, so edge signals
+# are captured cleanly and range-gating dedups detections (each frequency
+# belongs to exactly one core).
+#
+# Identity used: with hop h = B/2, the odd-phase outputs are a
+# critically-sampled bank run on the stream DELAYED by h:
+#   y_b(tB - h) = (-1)^b * bank(x delayed by h)[b, t]
+# (the delay re-references the polyphase commutator; e^{-j pi b} is the
+# half-stride phase). Interleaving [odd_t, even_t] yields the uniformly
+# h-spaced stream ..., y(tB-h), y(tB), y(tB+h) [= odd_{t+1}], ... -- the
+# whole output is delayed by h samples relative to the even bank, which is
+# an irrelevant constant stream latency.
+
+
+class Channelizer2xState(NamedTuple):
+    even: ChannelizerState  # bank state on x
+    odd: ChannelizerState  # bank state on x delayed by B/2
+    carry: jnp.ndarray  # [B/2] complex64: last B/2 input samples
+
+
+def init_channelizer2x_state(plan: ChannelizerPlan) -> Channelizer2xState:
+    return Channelizer2xState(
+        even=init_channelizer_state(plan),
+        odd=init_channelizer_state(plan),
+        carry=jnp.zeros((plan.num_channels // 2,), dtype=jnp.complex64),
+    )
+
+
+def channelize_block_2x(
+    plan: ChannelizerPlan, state: Channelizer2xState, x: jnp.ndarray
+) -> Tuple[Channelizer2xState, jnp.ndarray]:
+    """x: [n] complex64, n % B == 0 -> channels [B, 2 * n // B] complex64
+    at TWICE the critically-sampled channel rate.
+
+    The odd-phase bank consumes the stream delayed by B/2 (zero-primed on
+    the very first block, matching a zero-history filter start), so both
+    banks stay block-aligned with static shapes.
+    """
+    b = plan.num_channels
+    h = b // 2
+    n = x.shape[0]
+    assert n % b == 0, (n, b)
+
+    even_state, ch_even = channelize_block(plan, state.even, x)
+
+    # odd bank input: x delayed by B/2 (previous block's tail; zeros before
+    # the first block = standard zero-history filter start)
+    x_odd = jnp.concatenate([state.carry, x[: n - h]])
+    odd_state, ch_odd = channelize_block(plan, state.odd, x_odd)
+    signs = jnp.where(np.arange(b) % 2 == 0, 1.0, -1.0).astype(np.float32)[:, None]
+    ch_odd = ch_odd * signs
+
+    m = n // b
+    # odd sample y(tB - h) precedes even sample y(tB)
+    out = jnp.stack([ch_odd, ch_even], axis=-1).reshape(b, 2 * m)
+    return (
+        Channelizer2xState(even=even_state, odd=odd_state, carry=x[n - h :]),
+        out,
+    )
+
+
+def channelize_block_2x_pairs(
+    plan: ChannelizerPlan, state: Channelizer2xState, x_pairs: jnp.ndarray
+) -> Tuple[Channelizer2xState, jnp.ndarray]:
+    """channelize_block_2x with f32 (re, im) pairs at both boundaries."""
+    x = jax.lax.complex(x_pairs[:, 0], x_pairs[:, 1])
+    state, channels = channelize_block_2x(plan, state, x)
     return state, jnp.stack([jnp.real(channels), jnp.imag(channels)], axis=-1)
 
 

@@ -68,9 +68,16 @@ class WidebandScanner:
 
         self._config = config
         self._source = make_source(device_spec, loop=loop_replay)
-        self._plan = plan_channelizer(b)
-        self._chan_state = init_channelizer_state(self._plan)
-        sub_rate = rate // b
+        self._oversample = 2 if config.tunables.channelizer_oversample == 2 else 1
+        self._plan = plan_channelizer(b, oversample=self._oversample)
+        if self._oversample == 2:
+            from rtl_sdr_scanner_tpu.ops.channelizer import init_channelizer2x_state
+
+            self._chan_state = init_channelizer2x_state(self._plan)
+        else:
+            self._chan_state = init_channelizer_state(self._plan)
+        core = rate // b  # each channel OWNS an R/B-wide core range
+        sub_rate = core * self._oversample  # stream rate (2R/B when oversampled)
         center = (device_spec.ranges[0][0] + device_spec.ranges[0][1]) // 2
         self._center = center
         offsets = channel_center_offsets(self._plan, rate)
@@ -80,10 +87,13 @@ class WidebandScanner:
         self._offsets = offsets
         for ch in range(b):
             sub_center = center + int(offsets[ch])
+            # ranges stay the CORE (R/B) even when the stream is 2R/B wide:
+            # is_index_in_range gates detection to the core, so every
+            # frequency is owned by exactly one session (edge dedup)
             sub_spec = dataclasses.replace(
                 device_spec,
                 sample_rate=sub_rate,
-                ranges=[(sub_center - sub_rate // 2, sub_center + sub_rate // 2)],
+                ranges=[(sub_center - core // 2, sub_center + core // 2)],
                 channels=0,
             )
             session = SdrDevice(config, sub_spec, mqtt, per_band_recorders)
@@ -99,8 +109,10 @@ class WidebandScanner:
             )
 
         # all sessions share geometry; wideband block = B * sub-band block
+        # (halved when oversampled: each input sample yields 2/B outputs
+        # per channel)
         self._sub_block = self._sessions[0].scan_cfg.block_samples
-        self._wide_block = self._sub_block * b
+        self._wide_block = self._sub_block * b // self._oversample
         self._running = False
         self._thread: Optional[threading.Thread] = None
         self._mesh = None
@@ -233,9 +245,16 @@ class WidebandScanner:
         now_ms = self._source.stream_time_ms()
         start_ms = int(now_ms - self._wide_block * 1000 / self._source.sample_rate)
         pairs = np.ascontiguousarray(block, dtype=np.complex64).view(np.float32)
-        self._chan_state, channels = channelize_block_pairs(
-            self._plan, self._chan_state, jnp.asarray(pairs.reshape(-1, 2))
-        )
+        if self._oversample == 2:
+            from rtl_sdr_scanner_tpu.ops.channelizer import channelize_block_2x_pairs
+
+            self._chan_state, channels = channelize_block_2x_pairs(
+                self._plan, self._chan_state, jnp.asarray(pairs.reshape(-1, 2))
+            )
+        else:
+            self._chan_state, channels = channelize_block_pairs(
+                self._plan, self._chan_state, jnp.asarray(pairs.reshape(-1, 2))
+            )
         if self._mesh is not None:
             # multi-chip: one sharded banded dispatch for ALL sub-bands
             self._step_mesh(channels, start_ms, now_ms)

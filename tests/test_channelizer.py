@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rtl_sdr_scanner_tpu.ops.channelizer import (
+    ChannelizerState,
     channel_center_offsets,
     channelize_block,
     init_channelizer_state,
@@ -114,3 +115,97 @@ def test_channelized_band_feeds_scan_pipeline():
     found = cfg.index_to_shift(peak)
     assert abs(found - (-12_000)) < 3000, (found, last[peak])
     assert last[peak] > 8.0
+
+
+def test_oversampled_matches_offline_oracle():
+    """2x bank == mix->filter->decimate-by-B/2 oracle (one-sample stream
+    delay accounted: out[k] = filtered[(k-1) * B/2])."""
+    from rtl_sdr_scanner_tpu.ops.channelizer import (
+        Channelizer2xState,
+        channelize_block_2x,
+        init_channelizer2x_state,
+    )
+
+    b = 8
+    plan = plan_channelizer(b, oversample=2)
+    rng = np.random.default_rng(5)
+    n = b * 256
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+
+    state = init_channelizer2x_state(plan)
+    _, out = channelize_block_2x(plan, state, jnp.asarray(x))
+    out = np.asarray(out)  # [B, 2 * n // B]
+
+    # rebuild the prototype from the branch kernels (like offline_channelize)
+    proto_rev = plan.branch_kernels[:, ::-1]
+    n_taps = plan.taps_per_branch
+    g = np.zeros(n_taps * b)
+    for p in range(b):
+        for j in range(n_taps):
+            idx = j * b - p + (b - 1)
+            if 0 <= idx < len(g):
+                g[idx] = proto_rev[p, j]
+    h = g[b - 1 :]
+
+    ns = np.arange(n)
+    hop = b // 2
+    for ch in range(b):
+        mixed = x * np.exp(-2j * np.pi * ch * ns / b)
+        filtered = np.convolve(mixed, h)[:n]
+        ref = filtered[0 : (2 * n // b - 1) * hop : hop]
+        np.testing.assert_allclose(out[ch, 1:], ref, atol=2e-4)
+
+
+def test_oversampled_streaming_equals_offline():
+    """Block-streamed 2x outputs equal one whole-capture pass."""
+    from rtl_sdr_scanner_tpu.ops.channelizer import (
+        channelize_block_2x,
+        init_channelizer2x_state,
+    )
+
+    b = 8
+    plan = plan_channelizer(b, oversample=2)
+    rng = np.random.default_rng(6)
+    n = b * 512
+    x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(np.complex64)
+
+    state = init_channelizer2x_state(plan)
+    _, whole = channelize_block_2x(plan, state, jnp.asarray(x))
+
+    state = init_channelizer2x_state(plan)
+    parts = []
+    step = n // 4
+    for i in range(4):
+        state, part = channelize_block_2x(plan, state, jnp.asarray(x[i * step : (i + 1) * step]))
+        parts.append(np.asarray(part))
+    streamed = np.concatenate(parts, axis=1)
+    np.testing.assert_allclose(streamed, np.asarray(whole), atol=1e-5)
+
+
+def test_oversampled_edge_signal_flat():
+    """A tone at the exact boundary between two channels passes at ~unity
+    gain in the 2x bank (it sits inside the widened flat passband), while
+    the critically-sampled bank attenuates it (its documented blind spot)."""
+    from rtl_sdr_scanner_tpu.ops.channelizer import (
+        channelize_block_2x,
+        init_channelizer2x_state,
+    )
+
+    b = 8
+    n = b * 4096
+    ns = np.arange(n)
+    f_edge = 1.5 / b  # boundary between channels 1 and 2 (units of R)
+    x = np.exp(2j * np.pi * f_edge * ns).astype(np.complex64)
+
+    plan2 = plan_channelizer(b, oversample=2)
+    st2 = init_channelizer2x_state(plan2)
+    _, out2 = channelize_block_2x(plan2, st2, jnp.asarray(x))
+    amp2 = np.abs(np.asarray(out2)[1, 200:]).mean()  # channel 1, post-startup
+
+    plan1 = plan_channelizer(b)
+    st1 = ChannelizerState(tail=jnp.zeros((plan1.tail_len,), dtype=jnp.complex64))
+    _, out1 = channelize_block(plan1, st1, jnp.asarray(x))
+    amp1 = np.abs(np.asarray(out1)[1, 200:]).mean()
+
+    assert amp2 > 0.9, amp2  # flat in the widened passband
+    assert amp1 < 0.6, amp1  # attenuated at the critical bank's edge

@@ -93,3 +93,69 @@ def test_two_simultaneous_bands(tmp_path):
     # spectrograms flow per sub-band
     spectro = [t for t, _ in mqtt.published if t.endswith("/spectrogram")]
     assert spectro
+
+
+def test_oversampled_captures_boundary_signal(tmp_path):
+    """A transmission at the exact boundary between two sub-bands -- the
+    critically-sampled bank's documented blind spot -- is captured cleanly
+    with tunables.channelizer_oversample=2 and FM-demodulates back."""
+    f_edge = RATE // B + RATE // (2 * B)  # boundary between channels 1 and 2
+    rng = np.random.default_rng(31)
+    secs = 8.0
+    n = int(RATE * secs)
+    t = np.arange(n) / RATE
+    iq = 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    audio = np.sin(2 * np.pi * 900 * t)
+    phase = 2 * np.pi * f_edge * t + 2 * np.pi * 3000 * np.cumsum(audio) / RATE
+    iq += 0.4 * np.exp(1j * phase) * ((t >= 3.0) & (t < 6.0))
+    capture = tmp_path / "edge.cf32"
+    iq.astype(np.complex64).view(np.float32).tofile(capture)
+
+    raw = default_config_json()
+    raw["tunables"] = {"channelizer_oversample": 2}
+    raw["recording"] = {
+        "max_noise_time_ms": 1000,
+        "min_sample_rate": 16000,
+        "min_time_ms": 1000,
+        "step": 2500,
+    }
+    raw["devices"] = [
+        {
+            "enabled": True,
+            "serial": "wide2x",
+            "driver": "replay",
+            "sample_rate": RATE,
+            "start_recording_level": 8,
+            "stop_recording_level": 5,
+            "gains": [],
+            "ranges": [{"start": CENTER - RATE // 2, "stop": CENTER + RATE // 2}],
+            "file": str(capture),
+            "file_format": "cf32",
+            "channels": B,
+        }
+    ]
+    cfg_path = tmp_path / "config2x.json"
+    cfg_path.write_text(json.dumps(raw))
+    cfg = Config.load_from_file(str(cfg_path), scan_hardware=False)
+
+    mqtt = NullMqtt()
+    mqtt.keep_payloads = True
+    scanner = WidebandScanner(cfg, cfg.devices[0], mqtt, recorders_count=8)
+    assert scanner._oversample == 2
+    scanner.run_to_completion()
+
+    trans = [decode_transmission(p) for t_, p in mqtt.published if t_.endswith("uint8")]
+    assert trans, "boundary transmission not captured by the 2x bank"
+    by_center = {}
+    for t0, s0, s1, rate_, iq_ in trans:
+        by_center.setdefault((s0 + s1) // 2, []).append(iq_)
+    main = max(by_center, key=lambda c: sum(len(x) for x in by_center[c]))
+    assert abs(main - (CENTER + f_edge)) <= 10_000, (main, CENTER + f_edge)
+
+    z = np.concatenate(by_center[main])
+    z = z[:, 0].astype(np.float32) + 1j * z[:, 1].astype(np.float32)
+    z = z[len(z) // 4 :]
+    d = np.angle(z[1:] * np.conj(z[:-1]))
+    sp = np.abs(np.fft.rfft(d - d.mean()))
+    f_audio = np.argmax(sp) / len(d) * 16000
+    assert abs(f_audio - 900) < 50, f_audio
