@@ -87,6 +87,9 @@ class Tunables:
     # its whole R/B core), so transmissions straddling sub-band boundaries
     # are captured cleanly -- the critically-sampled bank (1, default,
     # cheaper) attenuates them like the reference's hop-range edges do.
+    # A signal whose bandwidth genuinely spans two cores may be recorded by
+    # both owning sessions (each records it cleanly), exactly as the
+    # reference would in two adjacent hop ranges.
     channelizer_oversample: int = 1
     # multi-chip: shard ONE band's detection frames over an N-device "time"
     # mesh axis with detector-state stitching across shard seams

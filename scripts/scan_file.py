@@ -43,6 +43,15 @@ def main() -> int:
     parser.add_argument("--recording-rate", type=int, default=16000, help="min_sample_rate")
     parser.add_argument("--recorders", type=int, default=2)
     parser.add_argument("--full-rows", action="store_true", help="full-row detection (parity mode)")
+    parser.add_argument(
+        "--channels", type=int, default=0,
+        help="wideband mode: split the capture into N sub-bands scanned "
+             "concurrently (polyphase channelizer)",
+    )
+    parser.add_argument(
+        "--oversample", action="store_true",
+        help="with --channels: 2x-oversampled bank (edge-flat sub-bands)",
+    )
     parser.add_argument("--out-dir", default=None, help="write recordings as .cs8 files here")
     parser.add_argument("--json", action="store_true", help="print a JSON summary line")
     parser.add_argument("--cpu", action="store_true", help="force the CPU backend")
@@ -80,6 +89,9 @@ def main() -> int:
         "step": 2500,
     }
     raw["tunables"] = {"compact_detection": not args.full_rows}
+    if args.channels >= 2:
+        span = rate  # the channelizer watches the whole capture at once
+        raw["tunables"]["channelizer_oversample"] = 2 if args.oversample else 1
     raw["devices"] = [
         {
             "enabled": True,
@@ -92,6 +104,7 @@ def main() -> int:
             "ranges": [{"start": center - span // 2, "stop": center + span // 2}],
             "file": args.file,
             "file_format": fmt,
+            "channels": args.channels,
         }
     ]
     raw["workers"] = args.recorders
@@ -100,7 +113,16 @@ def main() -> int:
     logger.configure()
     mqtt = NullMqtt()
     mqtt.keep_payloads = True
-    scanner = Scanner(config, config.devices[0], mqtt, recorders_count=args.recorders)
+    if args.channels >= 2:
+        from rtl_sdr_scanner_tpu.runtime.wideband import WidebandScanner
+
+        scanner = WidebandScanner(
+            config, config.devices[0], mqtt, recorders_count=args.recorders
+        )
+    else:
+        scanner = Scanner(
+            config, config.devices[0], mqtt, recorders_count=args.recorders
+        )
     scanner.run_to_completion()
 
     # group transmission payloads by recorded band
