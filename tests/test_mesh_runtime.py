@@ -195,3 +195,51 @@ def test_time_mesh_runtime_matches_serial(tmp_path):
     for (ts, a0, a1, st, sb), (tm, b0, b1, mt, mb) in zip(s_spec, m_spec):
         assert (ts, a0, a1, st) == (tm, b0, b1, mt)
         assert np.abs(sb.astype(np.int32) - mb.astype(np.int32)).max() <= 1
+
+
+def test_mesh_with_oversampled_bank(tmp_path):
+    """mesh_bands and channelizer_oversample compose: the banded sharded
+    dispatch consumes the 2x streams transparently and matches serial."""
+    capture = _capture(tmp_path)
+
+    def run(mesh_bands):
+        raw = default_config_json()
+        raw["tunables"] = {"mesh_bands": mesh_bands, "channelizer_oversample": 2}
+        raw["recording"] = {
+            "max_noise_time_ms": 1000,
+            "min_sample_rate": 16000,
+            "min_time_ms": 1000,
+            "step": 2500,
+        }
+        raw["devices"] = [
+            {
+                "enabled": True,
+                "serial": "wide2x",
+                "driver": "replay",
+                "sample_rate": RATE,
+                "start_recording_level": 8,
+                "stop_recording_level": 5,
+                "gains": [],
+                "ranges": [{"start": CENTER - RATE // 2, "stop": CENTER + RATE // 2}],
+                "file": str(capture),
+                "file_format": "cf32",
+                "channels": B,
+            }
+        ]
+        p = tmp_path / f"cfg2x_{mesh_bands}.json"
+        p.write_text(json.dumps(raw))
+        cfg = Config.load_from_file(str(p), scan_hardware=False)
+        mqtt = NullMqtt()
+        mqtt.keep_payloads = True
+        scanner = WidebandScanner(cfg, cfg.devices[0], mqtt, recorders_count=8)
+        assert scanner._oversample == 2
+        scanner.run_to_completion()
+        return mqtt.published
+
+    serial = run(0)
+    meshed = run(8)
+    s_trans = [p for t, p in serial if t.endswith("/transmission/uint8")]
+    m_trans = [p for t, p in meshed if t.endswith("/transmission/uint8")]
+    assert s_trans and len(s_trans) == len(m_trans)
+    for ps, pm in zip(s_trans, m_trans):
+        assert ps == pm
