@@ -125,6 +125,8 @@ class SdrDevice:
                 self._tunables.detection_top_k,
             )
         else:
+            if self._tunables.mesh_time > 0:
+                logger.warn(LABEL, "mesh_time needs compact detection; staying serial")
             self._scan_step = make_scan_step(self.scan_cfg)
         self._ddc_step = ddc_pipeline.make_ddc_step(self.ddc_cfg)
         self._valid_mask_dev = None  # per-retune device copy of the bin mask
