@@ -51,7 +51,11 @@ class Tunables:
     # can afford full coverage -- this is an accuracy upgrade, off by default
     # for parity.
     dense_detection: bool = False
-    # number of frames handed to the device per jitted step.
+    # number of frames handed to the device per jitted step. Bigger blocks
+    # amortize per-block fixed costs (dispatch + the history-vote table's
+    # grouping_y//2 PREV rows): 40 measured ~9% faster than 20 on v5e at the
+    # cost of one block (~0.77 s at 20.48 Msps) of detection latency; the
+    # default favors latency like the reference's per-frame loop.
     frames_per_block: int = 16
     # transfer IQ to device as int8 (cs8) and dequantize on-device, saving
     # 4x host->device bandwidth vs complex64.
