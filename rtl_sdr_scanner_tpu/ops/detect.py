@@ -30,6 +30,7 @@ over the same activity spans -- randomized stress test).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -65,6 +66,44 @@ def _two_stage_top_k(rows: jnp.ndarray, k: int):
     return vals, idxs
 
 
+POOL = 8  # max-pool cell width for the pooled top-k prefilter
+
+
+def _pooled_top_k(rows: jnp.ndarray, k: int, pool: int = POOL):
+    """Exact top-k (values, indices, first-index ties) via a max-pool prefilter.
+
+    The top-k POOLED CELLS (by max value) are a guaranteed superset of the
+    cells holding the true top-k bins: if bin b ranked k-th were missed, the
+    >= k cells ahead of b's cell each contain a distinct bin that outranks b
+    -- strictly greater value, or equal value in an earlier cell, whose bins
+    ALL have smaller indices because cell order IS index order -- so b could
+    not be in the exact top-k. Sorting the winning cells back to index order
+    and re-running top-k over their gathered bins therefore reproduces
+    lax.top_k bit-exactly (incl. the first-occurrence tie rule) while the
+    expensive per-segment sort runs at 1/pool width.
+
+    Measured on v5e (32 bands x 20 frames x fft 131072): 46.9 ms vs 54.6 for
+    the two-stage form (scripts/profile_detect.py) -- the one-pass max-pool
+    relayout costs less than the 8x narrower sort saves. (The same pooling
+    applied PER ITERATION inside _margin_separated_top loses 2.4x; see its
+    docstring.)
+    """
+    *lead, n = rows.shape
+    if n % pool != 0 or n // pool < 4 * k:
+        return _two_stage_top_k(rows, k)
+    np_cells = n // pool
+    pooled = jnp.max(rows.reshape(*lead, np_cells, pool), axis=-1)
+    _, cell_idx = _two_stage_top_k(pooled, k)  # [..., k] value-sorted cells
+    cell_idx = jnp.sort(cell_idx, axis=-1)  # back to index order for tie rule
+    bin_idx = (
+        cell_idx[..., :, None] * pool + jnp.arange(pool, dtype=jnp.int32)
+    ).reshape(*lead, k * pool)
+    cand = jnp.take_along_axis(rows, bin_idx, axis=-1)  # [..., k*pool]
+    vals, j = jax.lax.top_k(cand, k)
+    idxs = jnp.take_along_axis(bin_idx, j, axis=-1)
+    return vals, idxs
+
+
 class CompactOutputs(NamedTuple):
     # candidates = plain top-K bins UNION greedy margin-separated top bins
     # (strongest per +-submargin cluster). The union guarantees that dense
@@ -95,7 +134,10 @@ def _margin_separated_top(rows: jnp.ndarray, k: int, submargin: int):
     form wrote 335 MB/iteration at 32 bands x fft 131072). (A top-m-subset
     variant was tried and reverted: the greedy winners' global-rank bound is
     (k-1)(2*submargin+1)+1 ~ 1600, and an exact top-1600 costs a full sort;
-    per-segment top-m also fails on all-tied sentinel rows.)
+    per-segment top-m also fails on all-tied sentinel rows. A max-pool-8 +
+    in-cell-refine argmax per iteration was also tried and reverted: the
+    minor-axis [.., fft/8, 8] reduce relayouts every iteration and measured
+    140 ms vs 59 for the plain sweeps at 32 bands x 20 frames on v5e.)
     """
     f, fft = rows.shape
     bins = jnp.arange(fft, dtype=jnp.int32)[None, :]
@@ -196,6 +238,51 @@ def _windowed_argmax(rows: jnp.ndarray, centers: jnp.ndarray, half: int, fft: in
     return best_val, best_idx
 
 
+@functools.lru_cache(maxsize=32)
+def _vote_select_onehot(f: int, r_rows: int, half_depth: int) -> np.ndarray:
+    """Static one-hot [F, R, H]: sel[k, r, h] = 1 iff r == k + h.
+
+    Returned as numpy (NOT jnp): a cached jnp array created under one trace
+    would leak that trace's constant into later jit traces.
+    """
+    sel = np.zeros((f, r_rows, half_depth), dtype=np.float32)
+    for k in range(f):
+        for h in range(half_depth):
+            sel[k, k + h, h] = 1.0
+    return sel
+
+
+def _vote_windows(
+    hist_val: jnp.ndarray,  # [R, fft] f32, R = half_depth-1 + F
+    hist_idx: jnp.ndarray,  # [R, fft] i32
+    cand_idx: jnp.ndarray,  # [F, K] i32
+    half_depth: int,
+):
+    """Per-frame vote-window selection: out[k, h, c] = table[k+h, cand[k, c]].
+
+    Transpose the tables so the candidate lookup is a MAJOR-axis row gather
+    (contiguous R-wide rows -- the fast gather class on TPU), then pick each
+    frame's H=half_depth rows out of R with a static one-hot contraction
+    (exact: exactly one nonzero per output, and indices < 2^24 are exact in
+    f32). The previous form was a flat minor-axis element gather of
+    F*H*K*2 ~ 2.2M scalars, measured ~3x slower on v5e
+    (scripts/profile_detect.py vote A/B).
+    """
+    f, n_cand = cand_idx.shape
+    r_rows = hist_val.shape[0]
+    gv = hist_val.T[cand_idx]  # [F, K, R] row gather
+    gi = hist_idx.T[cand_idx].astype(jnp.float32)
+    sel = jnp.asarray(_vote_select_onehot(f, r_rows, half_depth))
+    # HIGHEST keeps the contraction in exact f32 on TPU (a default-precision
+    # bf16 cast of the values would break bit-exact parity with the flat
+    # gather); with one-hot weights the result is exact: one term per output.
+    # Output layout [F, H, K]: K minor for the unrolled mode kernel.
+    hp = jax.lax.Precision.HIGHEST
+    vals = jnp.einsum("fkr,frh->fhk", gv, sel, precision=hp)
+    idxs = jnp.einsum("fkr,frh->fhk", gi, sel, precision=hp).astype(jnp.int32)
+    return vals, idxs
+
+
 def _mode_median_ties(votes: jnp.ndarray, valid: jnp.ndarray, fallback: jnp.ndarray):
     """C++ mostFrequentValue over the valid votes of each row.
 
@@ -225,6 +312,57 @@ def _mode_median_ties(votes: jnp.ndarray, valid: jnp.ndarray, fallback: jnp.ndar
     return jnp.where(any_valid, pick, fallback)
 
 
+def _mode_median_ties_unrolled(
+    votes: jnp.ndarray, valid: jnp.ndarray, fallback: jnp.ndarray
+):
+    """C++ mostFrequentValue, unrolled over the small history depth H.
+
+    votes/valid: [..., H, K] (K minor); fallback: [..., K]. Semantics are
+    identical to _mode_median_ties (same rule, collection_utils.h:29-50), but
+    every op runs elementwise over [..., K] slices -- H is a PYTHON loop, so
+    no [.., H, H] arrays with an 11-wide minor axis exist (those pad to 128
+    lanes at <9% utilization on TPU and dominated the vote's cost). The ~300
+    unrolled ops fuse into one VPU kernel over the K-minor layout.
+    """
+    h = votes.shape[-2]
+    big = jnp.int32(2**30)
+    v = jnp.where(valid, votes, big)
+    vs = [v[..., i, :] for i in range(h)]
+    ok = [valid[..., i, :] for i in range(h)]
+    counts = []
+    for i in range(h):
+        c = jnp.zeros(vs[i].shape, dtype=jnp.int32)
+        for j in range(h):
+            c = c + jnp.where((vs[i] == vs[j]) & ok[j], 1, 0)
+        counts.append(jnp.where(ok[i], c, 0))
+    maxc = counts[0]
+    for i in range(1, h):
+        maxc = jnp.maximum(maxc, counts[i])
+    reps = []
+    for i in range(h):
+        rep = (counts[i] == maxc) & ok[i]
+        for j in range(i):  # first occurrence of each distinct value
+            rep = rep & (vs[i] != vs[j])
+        reps.append(rep)
+    vals = [jnp.where(reps[i], vs[i], big) for i in range(h)]
+    for p in range(h):  # odd-even transposition sort, ascending
+        for i in range(p % 2, h - 1, 2):
+            lo = jnp.minimum(vals[i], vals[i + 1])
+            vals[i + 1] = jnp.maximum(vals[i], vals[i + 1])
+            vals[i] = lo
+    n_tied = reps[0].astype(jnp.int32)
+    for i in range(1, h):
+        n_tied = n_tied + reps[i].astype(jnp.int32)
+    pick = n_tied // 2  # median of the sorted distinct tied values
+    res = vals[0]
+    for i in range(1, h):
+        res = jnp.where(pick == i, vals[i], res)
+    any_valid = ok[0]
+    for i in range(1, h):
+        any_valid = any_valid | ok[i]
+    return jnp.where(any_valid, res, fallback)
+
+
 def compact_detection(
     avg: jnp.ndarray,  # [F, fft] smoothed rows
     raw: jnp.ndarray,  # [F, fft] raw (noise-subtracted) rows of this block
@@ -240,7 +378,7 @@ def compact_detection(
     neg = jnp.float32(-3.0e38)
 
     masked = jnp.where(valid_mask[None, :], avg, neg)
-    top_val, top_idx = _two_stage_top_k(masked, top_k)
+    top_val, top_idx = _pooled_top_k(masked, top_k)
     submargin = group_size // 2 if group_size % 2 == 0 else group_size // 2 + 1
     sep_val, sep_idx = _margin_separated_top(masked, K_SEP, submargin)
     cand_val = jnp.concatenate([top_val, sep_val], axis=1)
@@ -254,17 +392,10 @@ def compact_detection(
     # hottest op in the whole scan step (~245 ms/32-band block).
     hist = jnp.concatenate([prev_tail, raw], axis=0)  # [half_depth-1+F, fft]
     half_depth = prev_tail.shape[0] + 1
-    row_sel = (
-        jnp.arange(f, dtype=jnp.int32)[:, None] + jnp.arange(half_depth, dtype=jnp.int32)[None, :]
-    )  # [F, H]
     hist_val, hist_idx = sliding_argmax(hist, half)  # [H-1+F, fft]
-    lin = row_sel[:, :, None] * fft + cand_idx[:, None, :]  # [F, H, K]
-    vals = hist_val.reshape(-1)[lin]
-    idxs = hist_idx.reshape(-1)[lin]
+    vals, idxs = _vote_windows(hist_val, hist_idx, cand_idx, half_depth)  # [F, H, K]
     votes_valid = vals >= start_level
-    cand_best = _mode_median_ties(
-        jnp.swapaxes(idxs, 1, 2), jnp.swapaxes(votes_valid, 1, 2), cand_idx
-    )  # [F, K]
+    cand_best = _mode_median_ties_unrolled(idxs, votes_valid, cand_idx)  # [F, K]
 
     key_val, key_idx = jax.vmap(lambda row: _windowed_argmax(row, keys, half, fft))(avg)
 

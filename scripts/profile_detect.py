@@ -44,6 +44,7 @@ def main() -> int:
         K_SEP,
         _margin_separated_top,
         _mode_median_ties,
+        _pooled_top_k,
         _two_stage_top_k,
         _windowed_argmax,
         sliding_argmax,
@@ -78,6 +79,9 @@ def main() -> int:
     topk = jax.jit(lambda a: _two_stage_top_k(a.reshape(nb * f, fft), top_k)[0].sum())
     timed(f"two-stage top-{top_k}", topk, avg)
 
+    ptopk = jax.jit(lambda a: _pooled_top_k(a.reshape(nb * f, fft), top_k)[0].sum())
+    timed(f"pooled top-{top_k}", ptopk, avg)
+
     sep = jax.jit(
         lambda a: jax.vmap(lambda r: _margin_separated_top(r, K_SEP, submargin)[0])(a).sum()
     )
@@ -86,7 +90,7 @@ def main() -> int:
     slarg = jax.jit(lambda h: sliding_argmax(h, half)[0].sum())
     timed("history sliding_argmax", slarg, hist)
 
-    def vote(h, a):
+    def vote_flat(h, a):
         hv, hi = sliding_argmax(h, half)
         _, cand_idx = _two_stage_top_k(a, top_k)  # [NB, F, K] via leading dims
         row_sel = (
@@ -104,7 +108,24 @@ def main() -> int:
 
         return jax.vmap(per_band)(hv, hi, cand_idx).sum()
 
-    timed("vote (sliding_argmax + gather + mode)", jax.jit(vote), hist, avg)
+    timed("vote flat-gather (slarg + gather + mode)", jax.jit(vote_flat), hist, avg)
+
+    def vote_rowgather(h, a):
+        from rtl_sdr_scanner_tpu.ops.detect import (
+            _mode_median_ties_unrolled,
+            _vote_windows,
+        )
+
+        hv, hi = sliding_argmax(h, half)
+        _, cand_idx = _two_stage_top_k(a, top_k)
+
+        def per_band(hvb, hib, cib):
+            vals, idxs = _vote_windows(hvb, hib, cib, half_depth)
+            return _mode_median_ties_unrolled(idxs, vals >= level, cib).sum()
+
+        return jax.vmap(per_band)(hv, hi, cand_idx).sum()
+
+    timed("vote row-gather (slarg + T/onehot + unrolled mode)", jax.jit(vote_rowgather), hist, avg)
 
     key_arg = jax.jit(
         lambda a: jax.vmap(

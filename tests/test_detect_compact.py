@@ -80,6 +80,26 @@ def test_mode_median_ties_matches_host():
         assert got == expect, (votes, valid, got, expect)
 
 
+def test_mode_unrolled_matches_reference_form():
+    from rtl_sdr_scanner_tpu.ops.detect import _mode_median_ties_unrolled
+
+    rng = np.random.default_rng(5)
+    h, k = 11, 80
+    for _ in range(20):
+        votes = rng.integers(0, 7, size=(3, h, k)).astype(np.int32)
+        valid = rng.random((3, h, k)) > 0.35
+        fallback = rng.integers(0, 1000, size=(3, k)).astype(np.int32)
+        a = _mode_median_ties_unrolled(
+            jnp.asarray(votes), jnp.asarray(valid), jnp.asarray(fallback)
+        )
+        b = _mode_median_ties(
+            jnp.swapaxes(jnp.asarray(votes), -1, -2),
+            jnp.swapaxes(jnp.asarray(valid), -1, -2),
+            jnp.asarray(fallback),
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def _make_tracker(cfg):
     return TransmissionTracker(
         fft_size=cfg.fft_size,

@@ -1,11 +1,16 @@
-"""_two_stage_top_k must equal lax.top_k exactly, including tie ordering,
-and _margin_separated_top must match a numpy greedy model."""
+"""_two_stage_top_k / _pooled_top_k must equal lax.top_k exactly, including
+tie ordering, and _margin_separated_top must match a numpy greedy model."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
-from rtl_sdr_scanner_tpu.ops.detect import _margin_separated_top, _two_stage_top_k
+from rtl_sdr_scanner_tpu.ops.detect import (
+    _margin_separated_top,
+    _pooled_top_k,
+    _two_stage_top_k,
+)
 
 RNG = np.random.default_rng(77)
 
@@ -20,6 +25,50 @@ def test_two_stage_equals_single_topk():
         v1, i1 = jax.lax.top_k(jnp.asarray(rows), k)
         np.testing.assert_array_equal(np.asarray(v2), np.asarray(v1))
         np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+
+
+@pytest.mark.parametrize("case", ["random", "ties", "all_equal", "sentinel", "masked"])
+def test_pooled_top_k_equals_single_topk(case):
+    shape, k = (3, 131072), 64
+    n = shape[-1]
+    rows = RNG.standard_normal(shape).astype(np.float32)
+    if case == "ties":
+        # same value scattered within one pool cell, across cells, across
+        # segment boundaries -- first-index order must survive the prefilter
+        for pos in (5, 6, 700, 701, 8191, 8192, 65536, n - 3):
+            rows[..., pos] = 4.444
+    elif case == "all_equal":
+        rows[...] = -100.0  # the reference NO_DATA sentinel everywhere
+    elif case == "sentinel":
+        rows[0, :] = -100.0
+    elif case == "masked":
+        rows[..., : n // 2] = np.float32(-3.0e38)  # valid_mask fill value
+    v2, i2 = _pooled_top_k(jnp.asarray(rows), k)
+    v1, i1 = jax.lax.top_k(jnp.asarray(rows), k)
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+
+
+def test_pooled_top_k_dense_cell_hits():
+    # a single pool cell holding MANY true top-k bins must contribute all of
+    # them (the gather takes whole cells, not one bin per cell)
+    rows = np.full((2, 8192), -50.0, dtype=np.float32)
+    rows[:, 4096:4104] = np.float32([10, 9, 8, 7, 6, 5, 4, 3])  # one cell
+    rows[:, 100] = 2.0
+    v2, i2 = _pooled_top_k(jnp.asarray(rows), 9)
+    v1, i1 = jax.lax.top_k(jnp.asarray(rows), 9)
+    np.testing.assert_array_equal(np.asarray(v2), np.asarray(v1))
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
+
+
+def test_margin_separated_ties_first_occurrence():
+    # equal maxima in different pool cells: greedy must pick the SMALLER bin
+    # first (argmax first-occurrence), then suppress and pick the other
+    rows = np.full((1, 4096), -60.0, dtype=np.float32)
+    rows[0, 900] = rows[0, 2000] = 7.5
+    vals, idxs = _margin_separated_top(jnp.asarray(rows), 3, 52)
+    assert list(np.asarray(idxs)[0][:2]) == [900, 2000]
+    np.testing.assert_allclose(np.asarray(vals)[0][:2], [7.5, 7.5])
 
 
 def test_margin_separated_matches_numpy_greedy():
