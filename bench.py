@@ -35,10 +35,11 @@ import numpy as np
 
 RATE = 20_480_000
 BASELINE_SAMPLES_PER_S = 20_480_000.0  # reference realtime envelope
-FRAMES = 40  # frames per block (multiple of 5 for DDC divisibility).
+FRAMES = 45  # frames per block (multiple of 5 for DDC divisibility).
 # Bigger blocks amortize per-block costs -- the history-vote table computes
 # grouping_y//2 extra PREV rows per block regardless of F, and dispatch
-# overhead is fixed -- measured 55.3x at F=20 vs 60.4x at F=40 (32 bands).
+# overhead is fixed -- measured 55.3x at F=20, 60.4x at F=40, 71.5x at F=45
+# (with the 2-per-pass margin sweep); F=60 regressed on HBM pressure.
 SLOTS_PER_BAND = 2
 RING = 2  # ingest ring depth (blocks) per band
 WARMUP = 3
@@ -152,9 +153,11 @@ def main() -> int:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr)
 
-    # 64 bands measured consistently below 32/48 (HBM pressure); keep the
-    # sweep tight so driver runs stay fast
-    band_counts = [args.bands] if args.bands else [32, 48]
+    # 40 bands measured best (1374.7 M = 67.1x); 48+ spill HBM since the
+    # vote row-gather landed (transposed hist tables add ~52 MB/band), 64
+    # was already below 32/48 in round 1. Keep the sweep tight so driver
+    # runs stay fast.
+    band_counts = [args.bands] if args.bands else [32, 40]
     best = 0.0
     best_bands = 1
     for nb in band_counts:

@@ -128,17 +128,82 @@ def _margin_separated_top(rows: jnp.ndarray, k: int, submargin: int):
     (the reference's add loop can insert at most one signal per margin window,
     contains_with_margin collection_utils.h:16-27).
 
-    Cost: k read-only argmax sweeps over the rows. The suppression state is
-    a carried BOOL mask (1 byte/bin) applied on the fly, so each iteration
-    reads the f32 rows once and never rewrites them (the masked-f32-carry
-    form wrote 335 MB/iteration at 32 bands x fft 131072). (A top-m-subset
-    variant was tried and reverted: the greedy winners' global-rank bound is
-    (k-1)(2*submargin+1)+1 ~ 1600, and an exact top-1600 costs a full sort;
-    per-segment top-m also fails on all-tied sentinel rows. A max-pool-8 +
-    in-cell-refine argmax per iteration was also tried and reverted: the
-    minor-axis [.., fft/8, 8] reduce relayouts every iteration and measured
-    140 ms vs 59 for the plain sweeps at 32 bands x 20 frames on v5e.)
+    Production form: TWO winners per full-row pass (k/2 passes). Each pass
+    computes per-1024-segment (max, first-argmax); winner 1 is exact from the
+    segment table (first segment holding the max + in-segment first argmax =
+    global first-occurrence argmax). Its +-submargin zone touches at most 2
+    segments, which are re-reduced from a gathered copy with the zone masked;
+    winner 2 is then exact from the patched table -- identical to the
+    sequential greedy's second pick. Suppression is a carried BOOL mask
+    (1 byte/bin) applied on the fly, so rows are never rewritten.
+
+    Negative results kept for the record: (a) masked-f32-carry wrote
+    335 MB/iteration; (b) per-segment top-m supersets fail on all-tied
+    sentinel rows; (c) max-pool-8 + in-cell-refine argmax per iteration
+    relayouts the minor axis every iteration and measured 140 ms vs 59;
+    (d) the one-winner-per-pass form (k full-row argmax sweeps) is the
+    fallback below for geometries the segment form does not fit.
     """
+    f, fft = rows.shape
+    seg_w = 1024
+    s = fft // seg_w
+    if fft % seg_w != 0 or s < 2 or 2 * submargin + 1 > seg_w or k % 2 != 0:
+        return _margin_separated_top_1per(rows, k, submargin)
+
+    bins = jnp.arange(fft, dtype=jnp.int32)[None, :]
+    lane = jnp.arange(seg_w, dtype=jnp.int32)
+    seg_ids = jnp.arange(s, dtype=jnp.int32)
+    neg = jnp.float32(-3.3e38)
+    rows3 = rows.reshape(f, s, seg_w)
+
+    def body(supp, _):
+        cur3 = jnp.where(supp.reshape(f, s, seg_w), neg, rows3)
+        seg_v = jnp.max(cur3, axis=-1)  # [F, S]
+        seg_a = jnp.argmax(cur3, axis=-1).astype(jnp.int32)  # [F, S]
+        s1 = jnp.argmax(seg_v, axis=-1).astype(jnp.int32)  # [F]
+        v1 = jnp.take_along_axis(seg_v, s1[:, None], axis=-1)[:, 0]
+        idx1 = s1 * seg_w + jnp.take_along_axis(seg_a, s1[:, None], axis=-1)[:, 0]
+
+        # zone(w1) spans <= 2 segments; re-reduce them with the zone masked
+        t0 = jnp.clip((idx1 - submargin) // seg_w, 0, s - 1)
+        t1 = jnp.clip((idx1 + submargin) // seg_w, 0, s - 1)
+        touched = jnp.stack([t0, t1], axis=1)  # [F, 2]
+        seg_rows = jnp.take_along_axis(rows3, touched[:, :, None], axis=1)
+        seg_supp = jnp.take_along_axis(
+            supp.reshape(f, s, seg_w), touched[:, :, None], axis=1
+        )
+        abs_bins = touched[:, :, None] * seg_w + lane  # [F, 2, seg_w]
+        in_zone = jnp.abs(abs_bins - idx1[:, None, None]) <= submargin
+        masked = jnp.where(seg_supp | in_zone, neg, seg_rows)
+        r_v = jnp.max(masked, axis=-1)  # [F, 2]
+        r_a = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+        pv, pa = seg_v, seg_a
+        for j in (0, 1):  # t0 == t1 patches twice with identical values
+            m = seg_ids[None, :] == touched[:, j][:, None]
+            pv = jnp.where(m, r_v[:, j][:, None], pv)
+            pa = jnp.where(m, r_a[:, j][:, None], pa)
+        s2 = jnp.argmax(pv, axis=-1).astype(jnp.int32)
+        v2 = jnp.take_along_axis(pv, s2[:, None], axis=-1)[:, 0]
+        idx2 = s2 * seg_w + jnp.take_along_axis(pa, s2[:, None], axis=-1)[:, 0]
+
+        supp = (
+            supp
+            | (jnp.abs(bins - idx1[:, None]) <= submargin)
+            | (jnp.abs(bins - idx2[:, None]) <= submargin)
+        )
+        return supp, (v1, idx1, v2, idx2)
+
+    _, (v1s, i1s, v2s, i2s) = jax.lax.scan(
+        body, jnp.zeros(rows.shape, dtype=bool), None, length=k // 2
+    )
+    # interleave back to greedy order: w1(pass0), w2(pass0), w1(pass1), ...
+    vals = jnp.stack([v1s, v2s], axis=1).reshape(k, f)
+    idxs = jnp.stack([i1s, i2s], axis=1).reshape(k, f)
+    return vals.T, idxs.T  # [F, k]
+
+
+def _margin_separated_top_1per(rows: jnp.ndarray, k: int, submargin: int):
+    """One-winner-per-pass fallback: k read-only argmax sweeps."""
     f, fft = rows.shape
     bins = jnp.arange(fft, dtype=jnp.int32)[None, :]
     neg = jnp.float32(-3.3e38)

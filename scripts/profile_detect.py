@@ -82,10 +82,17 @@ def main() -> int:
     ptopk = jax.jit(lambda a: _pooled_top_k(a.reshape(nb * f, fft), top_k)[0].sum())
     timed(f"pooled top-{top_k}", ptopk, avg)
 
+    from rtl_sdr_scanner_tpu.ops.detect import _margin_separated_top_1per
+
+    sep1 = jax.jit(
+        lambda a: jax.vmap(lambda r: _margin_separated_top_1per(r, K_SEP, submargin)[0])(a).sum()
+    )
+    timed(f"margin-separated 1-per-pass x{K_SEP}", sep1, avg)
+
     sep = jax.jit(
         lambda a: jax.vmap(lambda r: _margin_separated_top(r, K_SEP, submargin)[0])(a).sum()
     )
-    timed(f"margin-separated greedy x{K_SEP}", sep, avg)
+    timed(f"margin-separated 2-per-pass x{K_SEP // 2}", sep, avg)
 
     slarg = jax.jit(lambda h: sliding_argmax(h, half)[0].sum())
     timed("history sliding_argmax", slarg, hist)

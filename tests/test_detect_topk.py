@@ -71,16 +71,52 @@ def test_margin_separated_ties_first_occurrence():
     np.testing.assert_allclose(np.asarray(vals)[0][:2], [7.5, 7.5])
 
 
-def test_margin_separated_matches_numpy_greedy():
-    rows = RNG.standard_normal((3, 4096)).astype(np.float32)
-    k, sub = 8, 52
-    vals, idxs = _margin_separated_top(jnp.asarray(rows), k, sub)
+def _numpy_greedy_check(rows, k, sub, vals, idxs):
     vals, idxs = np.asarray(vals), np.asarray(idxs)
     for f in range(rows.shape[0]):
         cur = rows[f].copy()
         for j in range(k):
             i = int(np.argmax(cur))
-            assert idxs[f, j] == i
+            assert idxs[f, j] == i, (f, j, idxs[f, j], i)
             assert np.isclose(vals[f, j], cur[i])
             lo, hi = max(0, i - sub), min(len(cur), i + sub + 1)
             cur[lo:hi] = -3.3e38
+
+
+def test_margin_separated_matches_numpy_greedy():
+    rows = RNG.standard_normal((3, 4096)).astype(np.float32)
+    k, sub = 8, 52
+    vals, idxs = _margin_separated_top(jnp.asarray(rows), k, sub)
+    _numpy_greedy_check(rows, k, sub, vals, idxs)
+
+
+def test_margin_separated_two_per_pass_boundaries():
+    # winners and zones straddling 1024-segment boundaries, consecutive
+    # winners in the same segment, and zones clipping at the row edges --
+    # the cases the 2-winners-per-pass segment refinement must get exact
+    rows = RNG.standard_normal((2, 8192)).astype(np.float32)
+    k, sub = 8, 52
+    for f, positions in ((0, (1020, 1030, 2048, 2060, 30)), (1, (8191, 8150, 0, 4095, 4100))):
+        for p, v in zip(positions, (50.0, 49.0, 48.0, 47.0, 46.0)):
+            rows[f, p] = v
+    vals, idxs = _margin_separated_top(jnp.asarray(rows), k, sub)
+    _numpy_greedy_check(rows, k, sub, vals, idxs)
+
+
+def test_margin_separated_two_per_pass_randomized():
+    for seed in range(5):
+        rng = np.random.default_rng(seed)
+        rows = rng.standard_normal((2, 8192)).astype(np.float32)
+        # sprinkle strong clusters at random positions incl. near boundaries
+        for f in range(2):
+            pos = rng.integers(0, 8192, size=12)
+            rows[f, pos] += rng.uniform(10, 60, size=12).astype(np.float32)
+        k, sub = 16, 52
+        vals, idxs = _margin_separated_top(jnp.asarray(rows), k, sub)
+        _numpy_greedy_check(rows, k, sub, vals, idxs)
+
+
+def test_margin_separated_all_equal_rows():
+    rows = np.full((2, 4096), -100.0, dtype=np.float32)  # NO_DATA sentinel
+    vals, idxs = _margin_separated_top(jnp.asarray(rows), 4, 52)
+    _numpy_greedy_check(rows, 4, 52, vals, idxs)
