@@ -95,6 +95,15 @@ class Tunables:
     # both owning sessions (each records it cleanly), exactly as the
     # reference would in two adjacent hop ranges.
     channelizer_oversample: int = 1
+    # live ingest ring overflow policy: the SPSC ring drops newest IQ when
+    # the feeder falls behind the front-end (the reference's GR scheduler
+    # backpressures instead; SoapySDR surfaces overflow in readStream
+    # returns, sdr_source.cpp:34-41). Drops are ALWAYS logged + counted
+    # (SoapySource.dropped_bytes); set fatal to stop the stream on the first
+    # drop -- the right mode for replay/CI where a drop means a bug.
+    ingest_overflow_fatal: bool = False
+    # live ingest ring capacity in seconds of CF32 at the device sample rate
+    ingest_ring_seconds: float = 2.0
     # multi-chip: shard ONE band's detection frames over an N-device "time"
     # mesh axis with detector-state stitching across shard seams
     # (parallel/sharded_scan.make_time_sharded_scan) -- for ingest rates

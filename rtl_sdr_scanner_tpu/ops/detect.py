@@ -79,8 +79,13 @@ def _pooled_top_k(rows: jnp.ndarray, k: int, pool: int = POOL):
     ALL have smaller indices because cell order IS index order -- so b could
     not be in the exact top-k. Sorting the winning cells back to index order
     and re-running top-k over their gathered bins therefore reproduces
-    lax.top_k bit-exactly (incl. the first-occurrence tie rule) while the
-    expensive per-segment sort runs at 1/pool width.
+    _two_stage_top_k (the replaced production path) bit-exactly, with the
+    DOCUMENTED lax.top_k first-occurrence tie rule, while the expensive
+    per-segment sort runs at 1/pool width. (Raw lax.top_k itself is
+    tie-unstable at some widths on current XLA builds -- e.g. scrambled tie
+    indices at n=8192, stable at n=131072 -- so equality with raw lax.top_k
+    is geometry-dependent; tests pin pooled == two-stage everywhere and
+    pooled == lax.top_k at the production fft.)
 
     Measured on v5e (32 bands x 20 frames x fft 131072): 46.9 ms vs 54.6 for
     the two-stage form (scripts/profile_detect.py) -- the one-pass max-pool
@@ -335,6 +340,9 @@ def _vote_windows(
     """
     f, n_cand = cand_idx.shape
     r_rows = hist_val.shape[0]
+    # indices ride through f32 below: exact only below 2^24 (fft 131072
+    # production is fine; a 16.7M-bin FFT would silently corrupt votes)
+    assert hist_val.shape[-1] < 1 << 24, hist_val.shape
     gv = hist_val.T[cand_idx]  # [F, K, R] row gather
     gi = hist_idx.T[cand_idx].astype(jnp.float32)
     sel = jnp.asarray(_vote_select_onehot(f, r_rows, half_depth))

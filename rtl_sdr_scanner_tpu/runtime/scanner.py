@@ -42,7 +42,7 @@ class Scanner:
     ):
         self._config = config
         self._tunables = config.tunables
-        self._source = make_source(device_spec, loop=loop_replay)
+        self._source = make_source(device_spec, loop=loop_replay, tunables=config.tunables)
         # wire clock: payload time = source epoch + stream-relative ms
         # (utils.cpp:14 getTime is epoch ms; replay sources report epoch 0 so
         # replay runs stay deterministic)

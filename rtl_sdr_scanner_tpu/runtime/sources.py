@@ -140,9 +140,12 @@ class SoapySource:
     sdr_source.cpp:38-41 -- recovery is the supervisor's job).
     """
 
-    def __init__(self, device: DeviceSpec):  # pragma: no cover - hardware path
+    def __init__(self, device: DeviceSpec, tunables=None):
         import SoapySDR  # type: ignore
 
+        from rtl_sdr_scanner_tpu.constants import DEFAULT
+
+        self._tunables = tunables if tunables is not None else DEFAULT
         self._soapy = SoapySDR
         self._device = SoapySDR.Device({"serial": device.serial, "driver": device.driver})
         self._rate = device.sample_rate
@@ -209,22 +212,52 @@ class SoapySource:
 
         if getattr(self, "_reader", None) is not None:
             return
-        # ~2 s of CF32 at line rate
-        self._ring = IngestRing(int(self._rate * 8 * 2))
+        self._ring = IngestRing(int(self._rate * 8 * self._tunables.ingest_ring_seconds))
         self._streaming = True
+        self._overflowed = False
+        self._drop_warnings = 0
+        self._last_drop_log = 0.0
 
         def reader():
             buf = np.empty(65536, dtype=np.complex64)
+            dropped_seen = 0
             while self._streaming:
                 sr = self._device.readStream(self._stream, [buf], len(buf), timeoutUs=500000)
                 if sr.ret > 0:
                     self._ring.write(buf[: sr.ret])
+                    dropped = self._ring.dropped_bytes
+                    if dropped > dropped_seen:
+                        # overflow: the feeder fell behind line rate. Loud,
+                        # like the reference's stream-error path
+                        # (sdr_source.cpp:34-41) -- never a silent IQ gap.
+                        dropped_seen = dropped
+                        now = time.monotonic()
+                        if now - self._last_drop_log >= 1.0:
+                            self._last_drop_log = now
+                            self._drop_warnings += 1
+                            logger.warn(
+                                LABEL,
+                                "ingest ring overflow: {} bytes of IQ dropped "
+                                "total (feeder slower than {} sps)",
+                                dropped,
+                                self._rate,
+                            )
+                        if self._tunables.ingest_overflow_fatal:
+                            logger.error(LABEL, "ingest overflow is fatal; stopping stream")
+                            self._overflowed = True
+                            self._streaming = False
                 elif sr.ret not in (self._soapy.SOAPY_SDR_TIMEOUT,):
                     logger.error(LABEL, "readStream error: {}", sr.ret)
                     self._streaming = False
 
         self._reader = threading.Thread(target=reader, name="sdr-reader", daemon=True)
         self._reader.start()
+
+    @property
+    def dropped_bytes(self) -> int:
+        """Total IQ bytes lost to ingest-ring overflow (0 before streaming)."""
+        ring = getattr(self, "_ring", None)
+        return ring.dropped_bytes if ring is not None else 0
 
     def stop_streaming(self) -> None:  # pragma: no cover - hardware path
         self._streaming = False
@@ -238,6 +271,11 @@ class SoapySource:
             chunks = []
             while need > 0:
                 if not self._streaming:
+                    if getattr(self, "_overflowed", False):
+                        raise RuntimeError(
+                            f"ingest ring overflow (fatal mode): "
+                            f"{self.dropped_bytes} bytes dropped"
+                        )
                     raise RuntimeError("reader thread stopped on stream error")
                 got = self._ring.read(need, dtype=np.uint8)
                 if got.size:
@@ -269,8 +307,8 @@ class SoapySource:
         self._device.closeStream(self._stream)
 
 
-def make_source(device: DeviceSpec, loop: bool = False):
+def make_source(device: DeviceSpec, loop: bool = False, tunables=None):
     """Backend factory: file-backed devices replay; others need SoapySDR."""
     if device.file:
         return ReplaySource(device, loop=loop)
-    return SoapySource(device)
+    return SoapySource(device, tunables=tunables)

@@ -122,6 +122,13 @@ class TransmissionTracker:
         # center frequency via the callbacks; recomputed on reset)
         self._valid_mask: Optional[np.ndarray] = None
         self._ignored_ranges = list(ignored_ranges)
+        # compact-mode candidate overflow observability: frames whose
+        # above-level bin count exceeded the device candidate capacity
+        # (the reference processes ALL bins, transmission.cpp:88-111; the
+        # compact path's coverage degrades gracefully -- see ops/detect.py --
+        # but must never degrade silently)
+        self.candidate_overflow_count = 0
+        self._overflow_logged = False
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -282,6 +289,23 @@ class TransmissionTracker:
         (ops/detect.py); merge into a single strongest-first pass with the
         reference's ordering (desc value, lower index on ties).
         """
+        capacity = len(cand_idx)
+        if cand_count > capacity:
+            # more above-level bins than candidate slots this frame: dense
+            # clusters may defer a weak distinct signal to a later frame
+            # (ops/detect.py bounded-divergence contract). Log once, count
+            # always, so a saturated scene is visible.
+            self.candidate_overflow_count += 1
+            if not self._overflow_logged:
+                self._overflow_logged = True
+                logger.warn(
+                    LABEL,
+                    "candidate overflow: {} bins above start level exceed the "
+                    "{} device candidate slots (raise detection_top_k if this "
+                    "persists)",
+                    int(cand_count),
+                    capacity,
+                )
         order = np.lexsort((cand_idx, -cand_val))
         seen_idx = set()
 

@@ -67,7 +67,7 @@ class WidebandScanner:
             raise ValueError(f"sample_rate {rate} not divisible by channels {b}")
 
         self._config = config
-        self._source = make_source(device_spec, loop=loop_replay)
+        self._source = make_source(device_spec, loop=loop_replay, tunables=config.tunables)
         self._oversample = 2 if config.tunables.channelizer_oversample == 2 else 1
         self._plan = plan_channelizer(b, oversample=self._oversample)
         if self._oversample == 2:

@@ -61,14 +61,42 @@ def test_pooled_top_k_dense_cell_hits():
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(i1))
 
 
-def test_margin_separated_ties_first_occurrence():
+@pytest.mark.parametrize("k", [3, 4])
+def test_margin_separated_ties_first_occurrence(k):
     # equal maxima in different pool cells: greedy must pick the SMALLER bin
-    # first (argmax first-occurrence), then suppress and pick the other
+    # first (argmax first-occurrence), then suppress and pick the other.
+    # k=4 exercises the 2-winners-per-pass segment path (even k, 4096 >= 2
+    # segments); k=3 routes to the _margin_separated_top_1per fallback -- the
+    # tie rule must hold on both.
     rows = np.full((1, 4096), -60.0, dtype=np.float32)
     rows[0, 900] = rows[0, 2000] = 7.5
-    vals, idxs = _margin_separated_top(jnp.asarray(rows), 3, 52)
+    vals, idxs = _margin_separated_top(jnp.asarray(rows), k, 52)
     assert list(np.asarray(idxs)[0][:2]) == [900, 2000]
     np.testing.assert_allclose(np.asarray(vals)[0][:2], [7.5, 7.5])
+
+
+def test_margin_separated_segment_path_ties_within_pass():
+    # equal maxima that must be split ACROSS one 2-winner pass (w1 and w2 of
+    # the same pass tied): the segment-table refinement must keep the
+    # first-occurrence order, including ties straddling segment boundaries
+    rows = np.full((1, 4096), -60.0, dtype=np.float32)
+    rows[0, 1023] = rows[0, 1100] = rows[0, 2000] = rows[0, 3000] = 7.5
+    vals, idxs = _margin_separated_top(jnp.asarray(rows), 4, 52)
+    assert list(np.asarray(idxs)[0]) == [1023, 1100, 2000, 3000]
+    np.testing.assert_allclose(np.asarray(vals)[0], [7.5] * 4)
+
+
+def test_pooled_equals_two_stage_under_ties_midsize():
+    # raw lax.top_k is tie-UNSTABLE at some widths (observed n=8192 on the
+    # current XLA build); the production contract is pooled == two-stage
+    # (first-occurrence tie rule), pinned here on heavy-tie integer rows
+    rng = np.random.default_rng(3)
+    rows = rng.integers(-50, -40, size=(4, 8192)).astype(np.float32)
+    rows[:, ::17] = -42.0  # hundreds of exact ties spread across cells
+    v_p, i_p = _pooled_top_k(jnp.asarray(rows), 64)
+    v_t, i_t = _two_stage_top_k(jnp.asarray(rows), 64)
+    np.testing.assert_array_equal(np.asarray(v_p), np.asarray(v_t))
+    np.testing.assert_array_equal(np.asarray(i_p), np.asarray(i_t))
 
 
 def _numpy_greedy_check(rows, k, sub, vals, idxs):

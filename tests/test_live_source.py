@@ -108,6 +108,51 @@ def test_ingest_ring_feed_preserves_stream(monkeypatch):
     assert fake.devices[0].stream_closed
 
 
+def test_ingest_ring_overflow_surfaced(monkeypatch):
+    """A consumer slower than line rate must overflow the ring LOUDLY:
+    dropped_bytes grows and a warning is logged (reference analog: SoapySDR
+    overflow surfaces in readStream returns, sdr_source.cpp:34-41)."""
+    from rtl_sdr_scanner_tpu.constants import Tunables
+
+    fake = make_fake_soapy(total_samples=RATE * 4)
+    monkeypatch.setitem(sys.modules, "SoapySDR", fake)
+    from rtl_sdr_scanner_tpu.runtime.sources import SoapySource
+
+    src = SoapySource(
+        _device_spec(), tunables=Tunables(ingest_ring_seconds=0.05)
+    )
+    src.start_streaming()  # nobody consumes: the tiny ring must overflow
+    deadline = time.time() + 5.0
+    while src.dropped_bytes == 0 and time.time() < deadline:
+        time.sleep(0.01)
+    assert src.dropped_bytes > 0
+    deadline = time.time() + 2.0
+    while src._drop_warnings == 0 and time.time() < deadline:
+        time.sleep(0.01)
+    assert src._drop_warnings >= 1
+    src.close()
+
+
+def test_ingest_ring_overflow_fatal(monkeypatch):
+    """ingest_overflow_fatal stops the stream on the first drop and read_block
+    raises -- the replay/CI mode where a drop means a bug."""
+    from rtl_sdr_scanner_tpu.constants import Tunables
+
+    fake = make_fake_soapy(total_samples=RATE * 4)
+    monkeypatch.setitem(sys.modules, "SoapySDR", fake)
+    from rtl_sdr_scanner_tpu.runtime.sources import SoapySource
+
+    src = SoapySource(
+        _device_spec(),
+        tunables=Tunables(ingest_ring_seconds=0.05, ingest_overflow_fatal=True),
+    )
+    src.start_streaming()
+    with pytest.raises(RuntimeError, match="overflow"):
+        for _ in range(1000):
+            src.read_block(RATE // 10)
+    src.close()
+
+
 def _live_config(tmp_path, compact=True):
     from rtl_sdr_scanner_tpu.runtime.config import Config, default_config_json
 
