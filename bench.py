@@ -139,9 +139,114 @@ def bench_bands(n_bands: int, seconds: float, host_fed: bool, frames: int = FRAM
     return samples / elapsed
 
 
+def bench_wideband(n_bands: int, seconds: float, frames: int = FRAMES):
+    """The APPLICATION's mesh-mode device path, measured end to end on chip:
+    ONE sharded dispatch channelizing the wideband block in-mesh + all bands'
+    compact scan (make_sharded_wideband_step), then ONE banded K*B-slot DDC
+    dispatch (make_sharded_banded_ddc) -- exactly what WidebandScanner mesh
+    mode runs per block, minus host ingest (the wideband f32 pairs stream
+    from an HBM ring like the headline bench). Compare against
+    `--bands <same N>` (the fused vmapped step) to see the app-path overhead:
+    the channelizer + the scan/DDC dispatch split should cost <~10%.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from rtl_sdr_scanner_tpu.models.ddc_pipeline import DdcConfig, make_tables
+    from rtl_sdr_scanner_tpu.models.scan_pipeline import ScanConfig
+    from rtl_sdr_scanner_tpu.ops.channelizer import plan_channelizer
+    from rtl_sdr_scanner_tpu.parallel.mesh import make_mesh
+    from rtl_sdr_scanner_tpu.parallel.sharded_scan import (
+        init_banded_ddc_state,
+        init_banded_state,
+        make_sharded_banded_ddc,
+        make_sharded_wideband_step,
+    )
+
+    cfg = ScanConfig.create(RATE, frames_per_block=frames)
+    group = cfg.fft_size * cfg.decimator_factor
+    block = cfg.block_samples
+    ddc_cfg = DdcConfig.create(RATE, 16000, SLOTS_PER_BAND, block)
+    group_size = int(np.ceil(16000 / cfg.step_hz))
+    plan = plan_channelizer(n_bands)
+    mesh = make_mesh(n_bands=1, n_time=1)  # one real chip; tests cover 8-dev
+
+    wide_step = make_sharded_wideband_step(cfg, group_size, 64, mesh, plan, 1, n_bands)
+    ddc_step = make_sharded_banded_ddc(ddc_cfg, mesh, n_bands)
+
+    rng = np.random.default_rng(0)
+    n_wide = n_bands * block
+    ring = [
+        jax.device_put(
+            (rng.integers(-32, 32, size=(n_wide, 2)) / 127.5).astype(np.float32)
+        )
+        for _ in range(RING)
+    ]
+    jax.block_until_ready(ring)
+
+    scan_state = init_banded_state(cfg, n_bands, mesh)
+    from rtl_sdr_scanner_tpu.parallel.mesh import band_sharding, replicated
+    from rtl_sdr_scanner_tpu.ops.channelizer import init_channelizer_state
+
+    spectro_acc = jax.device_put(
+        jnp.zeros((n_bands, cfg.spectro_size), dtype=jnp.float32), band_sharding(mesh)
+    )
+    chan_state = jax.device_put(init_channelizer_state(plan), replicated(mesh))
+    ddc_state = init_banded_ddc_state(ddc_cfg, n_bands, mesh)
+    per_band = [
+        make_tables(ddc_cfg, rng.integers(-RATE // 2, RATE // 2, size=SLOTS_PER_BAND))
+        for _ in range(n_bands)
+    ]
+    tables = jax.device_put(
+        jax.tree.map(lambda *xs: jnp.stack(xs), *per_band), band_sharding(mesh)
+    )
+    keys = jnp.asarray(np.full((n_bands, 16), -1, dtype=np.int32))
+    valid = jnp.asarray(np.ones((n_bands, cfg.fft_size), dtype=bool))
+    keep_mask = np.ones((n_bands, SLOTS_PER_BAND), dtype=np.float32)
+    frame_ms = cfg.frame_interval_ms
+
+    def dispatch(b, chan_state, scan_state, spectro_acc, ddc_state):
+        now = ((b * frames + 1 + np.arange(frames)) * frame_ms).astype(np.int32)
+        chan_state, scan_state, spectro_acc, packed, channels = wide_step(
+            chan_state, scan_state, spectro_acc, ring[b % RING],
+            jnp.asarray(now), keys, valid, jnp.float32(8.0), jnp.float32(1.0),
+        )
+        ddc_state, rec = ddc_step(ddc_state, channels, tables, keep_mask)
+        return chan_state, scan_state, spectro_acc, ddc_state, packed, rec
+
+    for b in range(WARMUP):
+        chan_state, scan_state, spectro_acc, ddc_state, packed, rec = dispatch(
+            b, chan_state, scan_state, spectro_acc, ddc_state
+        )
+        _ = (np.asarray(packed), np.asarray(rec))
+
+    t0 = time.perf_counter()
+    blocks_done = 0
+    pending = None
+    while True:
+        chan_state, scan_state, spectro_acc, ddc_state, packed, rec = dispatch(
+            WARMUP + blocks_done, chan_state, scan_state, spectro_acc, ddc_state
+        )
+        if pending is not None:
+            _ = (np.asarray(pending[0]), np.asarray(pending[1]))
+        pending = (packed, rec)
+        blocks_done += 1
+        elapsed = time.perf_counter() - t0
+        if elapsed >= seconds and blocks_done >= 6:
+            break
+    _ = (np.asarray(pending[0]), np.asarray(pending[1]))
+    elapsed = time.perf_counter() - t0
+    return blocks_done * n_wide / elapsed
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--host-fed", action="store_true")
+    parser.add_argument(
+        "--wideband",
+        action="store_true",
+        help="measure the app mesh-mode path (in-mesh channelizer + banded DDC)",
+    )
     parser.add_argument("--seconds", type=float, default=6.0)
     parser.add_argument("--bands", type=int, default=0, help="fixed band count (0 = sweep)")
     parser.add_argument("--frames", type=int, default=FRAMES, help="frames per block (multiple of 5)")

@@ -104,6 +104,12 @@ class Tunables:
     ingest_overflow_fatal: bool = False
     # live ingest ring capacity in seconds of CF32 at the device sample rate
     ingest_ring_seconds: float = 2.0
+    # multi-host: join a jax.distributed runtime at startup (runtime/main.py
+    # calls parallel/multihost.initialize). Launch the SAME config on every
+    # host with JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
+    # set; a wideband device's bands mesh then spans all hosts' devices and
+    # each process feeds + publishes only the bands it owns.
+    multihost: bool = False
     # multi-chip: shard ONE band's detection frames over an N-device "time"
     # mesh axis with detector-state stitching across shard seams
     # (parallel/sharded_scan.make_time_sharded_scan) -- for ingest rates

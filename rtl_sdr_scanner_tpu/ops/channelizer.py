@@ -132,10 +132,14 @@ def channelize_block_pairs(
 ) -> Tuple[ChannelizerState, jnp.ndarray]:
     """channelize_block with f32 (re, im) pairs at both boundaries.
 
-    x_pairs: [n, 2] f32 -> channels [B, n // B, 2] f32. complex64 never
-    crosses the host<->device boundary (unimplemented on the axon tunnel and
-    never needed: the downstream scan/DDC pipelines consume pairs natively).
+    x_pairs: [n, 2] f32 (or int8 cs8, dequantized in-jit at 1/127.5 like
+    native.cs8_to_complex64 -- quarter h2d bandwidth for cs8 captures)
+    -> channels [B, n // B, 2] f32. complex64 never crosses the
+    host<->device boundary (unimplemented on the axon tunnel and never
+    needed: the downstream scan/DDC pipelines consume pairs natively).
     """
+    if x_pairs.dtype == jnp.int8:
+        x_pairs = x_pairs.astype(jnp.float32) * (1.0 / 127.5)
     x = jax.lax.complex(x_pairs[:, 0], x_pairs[:, 1])
     state, channels = channelize_block(plan, state, x)
     return state, jnp.stack([jnp.real(channels), jnp.imag(channels)], axis=-1)
@@ -210,7 +214,10 @@ def channelize_block_2x(
 def channelize_block_2x_pairs(
     plan: ChannelizerPlan, state: Channelizer2xState, x_pairs: jnp.ndarray
 ) -> Tuple[Channelizer2xState, jnp.ndarray]:
-    """channelize_block_2x with f32 (re, im) pairs at both boundaries."""
+    """channelize_block_2x with f32 (re, im) pairs (or int8 cs8, dequantized
+    in-jit) at both boundaries."""
+    if x_pairs.dtype == jnp.int8:
+        x_pairs = x_pairs.astype(jnp.float32) * (1.0 / 127.5)
     x = jax.lax.complex(x_pairs[:, 0], x_pairs[:, 1])
     state, channels = channelize_block_2x(plan, state, x)
     return state, jnp.stack([jnp.real(channels), jnp.imag(channels)], axis=-1)

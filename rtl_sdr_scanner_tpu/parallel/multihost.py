@@ -37,8 +37,18 @@ def initialize(
     """Join the jax.distributed runtime (no-op for a single process).
 
     Arguments default to the JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
-    JAX_PROCESS_ID environment contract.
+    JAX_PROCESS_ID environment contract -- the launch interface of the
+    config-driven runtime (`tunables.multihost`, runtime/main.py): start the
+    same config on every host with those three variables set.
     """
+    import os
+
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+    if process_id is None and os.environ.get("JAX_PROCESS_ID") is not None:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -47,9 +47,19 @@ def run(config_file: str) -> int:
     logger.info(LABEL, "starting")
     instance_id = generate_random_hash()
 
+    distributed_joined = False
     while _is_running:
         reload_requested = [False]
         config = Config.load_from_file(config_file)
+        if config.tunables.multihost and not distributed_joined:
+            # join the jax.distributed runtime ONCE (env contract:
+            # JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID);
+            # wideband bands meshes then span every host's devices and this
+            # process feeds only its own bands (parallel/multihost.py)
+            from rtl_sdr_scanner_tpu.parallel import multihost
+
+            multihost.initialize()
+            distributed_joined = True
         logger.configure(
             config.console_log_level,
             config.file_log_level,

@@ -229,6 +229,8 @@ class Scanner:
             self._source.stop_streaming()
         if hasattr(self._source, "close"):
             self._source.close()
+        # final spectrogram flush: don't drop the last partial send-interval
+        self.device.flush_spectrogram(self._source.stream_time_ms())
         if self._noise_path:
             self.device.save_noise_state(self._noise_path)
 

@@ -85,6 +85,11 @@ class WidebandScanner:
         per_band_recorders = max(1, recorders_count // b)
         self._sessions: List[SdrDevice] = []
         self._offsets = offsets
+        self._noise_path = (
+            f"{config.tunables.noise_state_path}.{device_spec.name}"
+            if config.tunables.noise_state_path
+            else None
+        )
         for ch in range(b):
             sub_center = center + int(offsets[ch])
             # ranges stay the CORE (R/B) even when the stream is 2R/B wide:
@@ -97,6 +102,12 @@ class WidebandScanner:
                 channels=0,
             )
             session = SdrDevice(config, sub_spec, mqtt, per_band_recorders)
+            if self._noise_path:
+                import os
+
+                path = f"{self._noise_path}.ch{ch}.npz"
+                if os.path.exists(path):
+                    session.load_noise_state(path)
             session.set_frequency_range(sub_spec.ranges[0], now_ms=0)
             self._sessions.append(session)
             logger.info(
@@ -116,6 +127,12 @@ class WidebandScanner:
         self._running = False
         self._thread: Optional[threading.Thread] = None
         self._mesh = None
+        self._int8_ingest = config.tunables.int8_ingest
+        # pipelined mesh ingest: one wideband block in flight on the mesh
+        # while the host consumes the previous block's packed rows (same
+        # contract as SdrDevice.submit_block: keys sampled at submit time)
+        self._pipelined = config.tunables.pipelined_ingest
+        self._mesh_inflight: Optional[tuple] = None
         if config.tunables.mesh_bands:
             self._setup_mesh(config.tunables.mesh_bands)
         logger.info(
@@ -130,15 +147,22 @@ class WidebandScanner:
 
     def _setup_mesh(self, mesh_bands: int) -> None:
         """Shard the B sub-band sessions over an N-device bands mesh: ONE
-        sharded compact scan dispatch per wideband block replaces B serial
-        session dispatches; trackers/recorders/egress stay per-band on host.
+        sharded channelize+scan dispatch per wideband block (the polyphase
+        bank runs INSIDE the mesh program, parallel/sharded_scan.py
+        make_sharded_wideband_step) plus, when any band records, ONE banded
+        DDC dispatch for ALL bands (make_sharded_banded_ddc) -- the reference
+        runs its recorder chains concurrently off one source
+        (sdr_device.cpp:39-41); B serial per-band dispatches would not scale.
+        Trackers/recorders/egress stay per-band on host.
         """
         import jax
 
-        from rtl_sdr_scanner_tpu.parallel.mesh import band_sharding, make_mesh
+        from rtl_sdr_scanner_tpu.parallel.mesh import band_sharding, make_mesh, replicated
         from rtl_sdr_scanner_tpu.parallel.sharded_scan import (
+            init_banded_ddc_state,
             init_banded_state,
-            make_sharded_compact_step,
+            make_sharded_banded_ddc,
+            make_sharded_wideband_step,
         )
 
         b = len(self._sessions)
@@ -152,13 +176,17 @@ class WidebandScanner:
         session = self._sessions[0]
         cfg = session.scan_cfg
         self._mesh = make_mesh(n_bands=n, n_time=1)
-        self._mesh_step = make_sharded_compact_step(
+        self._wide_step = make_sharded_wideband_step(
             cfg,
             session._group_size_early,
             self._config.tunables.detection_top_k,
             self._mesh,
+            self._plan,
+            self._oversample,
+            b,
         )
         self._band_state = init_banded_state(cfg, b, self._mesh)
+        self._chan_state = jax.device_put(self._chan_state, replicated(self._mesh))
         self._band_acc = jax.device_put(
             jnp.zeros((b, cfg.spectro_size), dtype=jnp.float32),
             band_sharding(self._mesh),
@@ -173,54 +201,207 @@ class WidebandScanner:
         self._acc_pending_frames = 0
         self._acc_reset_pending = False
         self._last_spectro_ms = 0
+
+        # multi-host (tunables.multihost + jax.distributed): the mesh spans
+        # every process's devices; THIS process feeds/publishes only the
+        # bands whose devices it owns (parallel/multihost.py placement). In
+        # a single process that is simply all bands.
+        self._multihost = jax.process_count() > 1
+        me = jax.process_index()
+        grid = self._mesh.devices.reshape(-1)
+        bands_per_dev = b // n
+        self._local_bands = [
+            band
+            for d in range(n)
+            if grid[d].process_index == me
+            for band in range(d * bands_per_dev, (d + 1) * bands_per_dev)
+        ]
+        if self._multihost:
+            logger.info(
+                LABEL,
+                "multihost process {}/{}: feeding bands {}",
+                me,
+                jax.process_count(),
+                self._local_bands,
+            )
+
+        # banded recording: one K*B-slot DDC program (modulated-taps chains
+        # only -- every production rate; exotic chains keep per-band DDC)
+        self._ddc_cfg = session.ddc_cfg
+        if self._ddc_cfg.modtap:
+            self._ddc_band_step = make_sharded_banded_ddc(self._ddc_cfg, self._mesh, b)
+            self._ddc_band_state = init_banded_ddc_state(self._ddc_cfg, b, self._mesh)
+            self._band_shifts = np.zeros((b, self._ddc_cfg.num_slots), dtype=np.int64)
+            self._band_tables = self._build_band_tables()
+            for s_ in self._sessions:
+                s_.external_ddc = True
+        else:
+            self._ddc_band_step = None
+            if self._multihost:
+                raise ValueError("multihost wideband needs the modulated-taps chain")
+            logger.warn(LABEL, "non-modtap DDC chain: recording stays per-band")
         logger.info(LABEL, "bands mesh: {} sub-bands over {} devices", b, n)
 
-    def _step_mesh(self, channels, start_ms: int, now_ms: int) -> None:
+    @staticmethod
+    def _fetch_band_rows(arr) -> dict:
+        """This process's band rows of a bands-sharded array, fetched shard
+        by shard (a multi-host array is not fully addressable; on one process
+        with one device this is the same single d2h transfer as before)."""
+        rows = {}
+        for shard in arr.addressable_shards:
+            lo = shard.index[0].start or 0
+            data = np.asarray(shard.data)
+            for off in range(data.shape[0]):
+                rows[lo + off] = data[off]
+        return rows
+
+    def _build_band_tables(self):
+        """Stack per-band DDC tables (host-exact math) with bands sharding.
+        Rebuilt only when some band's recorder slots changed -- rare,
+        human-timescale events (recorder start/stop). Assembled per shard via
+        make_array_from_callback: under multihost each process only KNOWS its
+        own bands' shifts, so the global array must be built from each
+        owner's local values (device_put would reject differing host values).
+        """
         import jax
 
+        from rtl_sdr_scanner_tpu.models import ddc_pipeline
+        from rtl_sdr_scanner_tpu.parallel.mesh import band_sharding
+
+        per_band = [
+            ddc_pipeline.make_tables(self._ddc_cfg, self._band_shifts[ch])
+            for ch in range(len(self._sessions))
+        ]
+        stacked = jax.tree.map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]), *per_band
+        )
+        sharding = band_sharding(self._mesh)
+        return jax.tree.map(
+            lambda a: jax.make_array_from_callback(
+                a.shape, sharding, lambda idx, a=a: a[idx]
+            ),
+            stacked,
+        )
+
+    def _step_mesh(self, pairs: np.ndarray, start_ms: int, now_ms: int) -> None:
+        handle = self._submit_mesh(pairs, start_ms)
+        if not self._pipelined:
+            self._finish_mesh(handle, now_ms)
+            return
+        if self._mesh_inflight is not None:
+            prev_handle, prev_now = self._mesh_inflight
+            self._finish_mesh(prev_handle, prev_now)
+        self._mesh_inflight = (handle, now_ms)
+
+    def _drain_mesh(self) -> None:
+        if self._mesh_inflight is not None:
+            handle, now_ms = self._mesh_inflight
+            self._mesh_inflight = None
+            self._finish_mesh(handle, now_ms)
+
+    def _submit_mesh(self, pairs: np.ndarray, start_ms: int) -> dict:
+        """Dispatch one wideband block without waiting: ONE sharded program
+        covers in-mesh channelization + all bands' compact scan."""
         cfg = self._sessions[0].scan_cfg
-        b = len(self._sessions)
         s = self._config.tunables.detection_key_slots
         frame_ms = cfg.frame_interval_ms
         now_arr = (
             start_ms + ((1 + np.arange(cfg.frames_per_block)) * frame_ms)
         ).astype(np.int32)
+        # non-local rows are dead weight: each process materializes only its
+        # own shards of a sharded input, so the owner's values are the ones
+        # that reach the devices
         keys = np.stack(
             [session._tracker.current_keys(s) for session in self._sessions]
         )
         keep = 0.0 if self._acc_reset_pending else 1.0
         self._acc_reset_pending = False
 
-        iq = channels.reshape(b, cfg.frames_per_block, -1, 2)
-        self._band_state, self._band_acc, outs = self._mesh_step(
+        (
+            self._chan_state,
             self._band_state,
             self._band_acc,
-            iq,
-            jnp.broadcast_to(jnp.asarray(now_arr), (b, cfg.frames_per_block)),
-            jnp.asarray(keys),
+            packed_dev,
+            channels,
+        ) = self._wide_step(
+            self._chan_state,
+            self._band_state,
+            self._band_acc,
+            pairs,  # uncommitted: jit shards it per in_specs on every process
+            now_arr,
+            keys,
             self._band_valid,
             jnp.float32(self._sessions[0]._device.start_level),
             jnp.float32(keep),
         )
         self._acc_pending_frames += cfg.frames_per_block
-        packed = np.asarray(outs.packed)  # ONE [B, L] device->host transfer
-        for ch, session in enumerate(self._sessions):
+        return {
+            "packed_dev": packed_dev,
+            "channels": channels,
+            "now_arr": now_arr,
+            "keys": keys,
+            "start_ms": start_ms,
+        }
+
+    def _finish_mesh(self, handle: dict, now_ms: int) -> None:
+        channels = handle["channels"]
+        now_arr = handle["now_arr"]
+        keys = handle["keys"]
+        start_ms = handle["start_ms"]
+        packed = self._fetch_band_rows(handle["packed_dev"])
+        for ch in self._local_bands:
+            session = self._sessions[ch]
             session.finish_block(
                 {
                     "outs": _PackedOuts(packed[ch]),
-                    "iq_dev": channels[ch],
+                    "iq_dev": channels[ch] if self._ddc_band_step is None else None,
                     "iq_is_int8": False,
                     "now_arr": now_arr,
                     "slot_keys": keys[ch],
                     "block_start_ms": start_ms,
                     "skip_spectro": True,
+                    "skip_ddc": self._ddc_band_step is not None,
                 }
             )
+
+        if self._ddc_band_step is not None:
+            # reconcile the banded DDC slots from the sessions' slot events,
+            # then run recording as ONE sharded dispatch over the bands axis.
+            # Slot resets ride the keep mask so the dispatch itself is
+            # identical on every process (multi-host SPMD requirement).
+            keep_mask = np.ones((len(self._sessions), self._ddc_cfg.num_slots), np.float32)
+            dirty = False
+            for ch in self._local_bands:
+                for slot, shift, started in self._sessions[ch].drain_slot_events():
+                    if started:
+                        keep_mask[ch, slot] = 0.0
+                    self._band_shifts[ch, slot] = shift
+                    dirty = True
+            if dirty:
+                self._band_tables = self._build_band_tables()
+            # single process skips the dispatch while nothing records; under
+            # multihost every process must issue the same dispatches, so the
+            # DDC runs every block (its output is discarded when idle)
+            recording = any(self._sessions[ch].is_recording for ch in self._local_bands)
+            if recording or self._multihost:
+                self._ddc_band_state, rec_dev = self._ddc_band_step(
+                    self._ddc_band_state, channels, self._band_tables, keep_mask
+                )
+                if recording:
+                    rec = self._fetch_band_rows(rec_dev)
+                    for ch in self._local_bands:
+                        if self._sessions[ch].is_recording:
+                            self._sessions[ch].ingest_ddc_out(rec[ch], start_ms)
+        # (non-modtap fallback: finish_block above ran each recording band's
+        # own _ddc_step because skip_ddc was False and iq_dev was its stream)
+
         interval = self._config.tunables.spectrogram_send_interval_ms
         if self._last_spectro_ms + interval < now_ms and self._acc_pending_frames:
-            acc = np.asarray(self._band_acc, dtype=np.float64)
-            for ch, session in enumerate(self._sessions):
-                session.ingest_spectro(acc[ch], self._acc_pending_frames, now_ms)
+            acc = self._fetch_band_rows(self._band_acc)
+            for ch in self._local_bands:
+                self._sessions[ch].ingest_spectro(
+                    acc[ch].astype(np.float64), self._acc_pending_frames, now_ms
+                )
             self._acc_pending_frames = 0
             self._acc_reset_pending = True
             self._last_spectro_ms = now_ms
@@ -238,27 +419,43 @@ class WidebandScanner:
                 return True
         return False
 
-    def step(self) -> bool:
+    def _read_pairs(self) -> Optional[np.ndarray]:
+        """Next wideband block as [n, 2] pairs: int8 cs8 when the source
+        offers it (quarter h2d bandwidth; the channelizer dequantizes in-jit)
+        else f32."""
+        if self._int8_ingest and hasattr(self._source, "read_block_int8"):
+            raw = self._source.read_block_int8(self._wide_block)
+            if raw is not None:
+                return raw
         block = self._source.read_block(self._wide_block)
         if block is None:
+            return None
+        pairs = np.ascontiguousarray(block, dtype=np.complex64).view(np.float32)
+        return pairs.reshape(-1, 2)
+
+    def step(self) -> bool:
+        pairs = self._read_pairs()
+        if pairs is None:
+            if self._mesh is not None:
+                self._drain_mesh()  # consume the pipelined tail block
             return False
         now_ms = self._source.stream_time_ms()
         start_ms = int(now_ms - self._wide_block * 1000 / self._source.sample_rate)
-        pairs = np.ascontiguousarray(block, dtype=np.complex64).view(np.float32)
+        if self._mesh is not None:
+            # multi-chip: the channelizer runs INSIDE the sharded program --
+            # one dispatch covers ingest + all sub-bands' detection
+            self._step_mesh(pairs, start_ms, now_ms)
+            return True
         if self._oversample == 2:
             from rtl_sdr_scanner_tpu.ops.channelizer import channelize_block_2x_pairs
 
             self._chan_state, channels = channelize_block_2x_pairs(
-                self._plan, self._chan_state, jnp.asarray(pairs.reshape(-1, 2))
+                self._plan, self._chan_state, jnp.asarray(pairs)
             )
         else:
             self._chan_state, channels = channelize_block_pairs(
-                self._plan, self._chan_state, jnp.asarray(pairs.reshape(-1, 2))
+                self._plan, self._chan_state, jnp.asarray(pairs)
             )
-        if self._mesh is not None:
-            # multi-chip: one sharded banded dispatch for ALL sub-bands
-            self._step_mesh(channels, start_ms, now_ms)
-            return True
         # per-band sessions consume their channel stream ON DEVICE (no host
         # round trip); submit all bands first so the device pipelines
         # overlap, then finish
@@ -291,9 +488,26 @@ class WidebandScanner:
         if self._thread is not None:
             self._thread.join(timeout=10)
             self._thread = None
+        self._drain_mesh()
         # release the hardware like Scanner.stop (SdrDevice dtor parity,
         # sdr_device.cpp:47-52)
         if hasattr(self._source, "stop_streaming"):
             self._source.stop_streaming()
         if hasattr(self._source, "close"):
             self._source.close()
+        now_ms = self._source.stream_time_ms()
+        # final spectrogram flush: in mesh mode the pending bin sums live in
+        # the banded device accumulator -- fold them into the sessions first
+        local = self._local_bands if self._mesh is not None else range(len(self._sessions))
+        if self._mesh is not None and self._acc_pending_frames:
+            acc = self._fetch_band_rows(self._band_acc)
+            for ch in local:
+                container = self._sessions[ch]._get_spectro_container(now_ms)
+                container.sum += acc[ch].astype(np.float64)
+                container.counter += self._acc_pending_frames
+            self._acc_pending_frames = 0
+            self._acc_reset_pending = True
+        for ch in local:
+            self._sessions[ch].flush_spectrogram(now_ms)
+            if self._noise_path:
+                self._sessions[ch].save_noise_state(f"{self._noise_path}.ch{ch}.npz")

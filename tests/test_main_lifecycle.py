@@ -125,3 +125,30 @@ def test_main_skips_disabled_and_empty_devices(tmp_path, monkeypatch):
     threading.Thread(target=stop_soon).start()
     assert main_mod.run(str(cfg_path)) == 0
     assert scanners_made == []  # both devices skipped (main.cpp:51-63 rules)
+
+
+def test_main_joins_distributed_runtime_once(tmp_path, monkeypatch):
+    """tunables.multihost makes run() call multihost.initialize exactly once
+    across reloads (jax.distributed can only be joined once per process)."""
+    capture = tmp_path / "cap_mh.cf32"
+    _write_capture(capture)
+    raw = _config_json(capture)
+    raw["tunables"] = {"multihost": True}
+    cfg_path = tmp_path / "config_mh.json"
+    cfg_path.write_text(json.dumps(raw))
+
+    from rtl_sdr_scanner_tpu.parallel import multihost
+
+    calls = []
+    monkeypatch.setattr(multihost, "initialize", lambda *a, **k: calls.append(1))
+    monkeypatch.setattr(main_mod, "make_mqtt", lambda cfg: NullMqtt())
+
+    main_mod._is_running = True
+
+    def stop_soon():
+        time.sleep(1.0)
+        main_mod._is_running = False
+
+    threading.Thread(target=stop_soon).start()
+    assert main_mod.run(str(cfg_path)) == 0
+    assert calls == [1], calls

@@ -176,6 +176,9 @@ def test_time_mesh_runtime_matches_serial(tmp_path):
         scanner = Scanner(cfg, cfg.devices[0], mqtt, recorders_count=2)
         if mesh_time:
             assert scanner.device._time_mesh is not None
+            # recording must flow through the time-sharded DDC too (round-2
+            # verdict item 5) -- payload parity below then proves it
+            assert scanner.device.tmesh_ddc, "time-sharded DDC did not engage"
         scanner.run_to_completion()
         return mqtt.published
 

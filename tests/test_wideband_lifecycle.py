@@ -1,0 +1,153 @@
+"""WidebandScanner session-feature parity (round-2 verdict weak #6).
+
+The single-band Scanner already had noise snapshot save/load, int8 ingest,
+pipelined ingest, and (now) a final spectrogram flush; wideband sessions must
+match: per-channel noise snapshots on stop, cs8 wideband captures ingested as
+int8 with in-jit dequant, the device spectrogram accumulator drained on stop
+(no lost final partial second), and optional pipelined mesh ingest.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from rtl_sdr_scanner_tpu.runtime.config import Config, default_config_json
+from rtl_sdr_scanner_tpu.runtime.mqtt_client import NullMqtt
+from rtl_sdr_scanner_tpu.runtime.wideband import WidebandScanner
+
+RATE = 1_024_000
+B = 4
+CENTER = 145_000_000
+
+
+def _write_capture(tmp_path, fmt, secs=8.0, signals=((300_000, 800), (-300_000, 1300))):
+    rng = np.random.default_rng(9)
+    n = int(RATE * secs)
+    t = np.arange(n) / RATE
+    iq = 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    keyed = (t >= 3.0) & (t < 6.0)
+    for f, tone in signals:
+        audio = np.sin(2 * np.pi * tone * t)
+        phase = 2 * np.pi * f * t + 2 * np.pi * 3000 * np.cumsum(audio) / RATE
+        iq += 0.4 * np.exp(1j * phase) * keyed
+    path = tmp_path / f"wide.{fmt}"
+    if fmt == "cf32":
+        iq.astype(np.complex64).view(np.float32).tofile(path)
+    else:  # cs8
+        flat = iq.astype(np.complex64).view(np.float32)
+        np.clip(np.round(flat * 127.0), -128, 127).astype(np.int8).tofile(path)
+    return path
+
+
+def _config(tmp_path, capture, fmt, tunables, tag):
+    raw = default_config_json()
+    raw["tunables"] = tunables
+    raw["recording"] = {
+        "max_noise_time_ms": 1000,
+        "min_sample_rate": 16000,
+        "min_time_ms": 1000,
+        "step": 2500,
+    }
+    raw["devices"] = [
+        {
+            "enabled": True,
+            "serial": "widelc",
+            "driver": "replay",
+            "sample_rate": RATE,
+            "start_recording_level": 8,
+            "stop_recording_level": 5,
+            "gains": [],
+            "ranges": [{"start": CENTER - RATE // 2, "stop": CENTER + RATE // 2}],
+            "file": str(capture),
+            "file_format": fmt,
+            "channels": B,
+        }
+    ]
+    p = tmp_path / f"cfg_{tag}.json"
+    p.write_text(json.dumps(raw))
+    return Config.load_from_file(str(p), scan_hardware=False)
+
+
+def test_noise_snapshot_and_final_spectro_flush(tmp_path):
+    capture = _write_capture(tmp_path, "cf32", secs=2.6, signals=())
+    noise_base = str(tmp_path / "noise")
+    cfg = _config(
+        tmp_path, capture, "cf32", {"noise_state_path": noise_base}, "lc"
+    )
+    mqtt = NullMqtt()
+    mqtt.keep_payloads = True
+    scanner = WidebandScanner(cfg, cfg.devices[0], mqtt, recorders_count=4)
+    scanner.run_to_completion()
+    before = len([1 for t, _ in mqtt.published if t.endswith("/spectrogram")])
+    scanner.stop()
+    after = len([1 for t, _ in mqtt.published if t.endswith("/spectrogram")])
+    # the final partial send-interval is flushed on stop, one per band
+    assert after == before + B, (before, after)
+
+    # per-channel noise snapshots written (2.6 s > the 2 s learning window)
+    import os
+
+    name = cfg.devices[0].name
+    for ch in range(B):
+        assert os.path.exists(f"{noise_base}.{name}.ch{ch}.npz"), ch
+
+    # a fresh scanner resumes with ready noise floors (no relearning)
+    scanner2 = WidebandScanner(cfg, cfg.devices[0], mqtt, recorders_count=4)
+    for session in scanner2.sessions:
+        noise = session._noise_states.get(session.center_frequency)
+        assert noise is not None and bool(noise.ready), session.center_frequency
+
+
+def test_int8_wideband_ingest_matches_cf32_path(tmp_path):
+    """A cs8 wideband capture ingested as raw int8 (in-jit dequant at 1/127.5)
+    must produce byte-identical payloads to the host-dequant f32 path."""
+    capture = _write_capture(tmp_path, "cs8")
+
+    def run(int8_ingest):
+        cfg = _config(
+            tmp_path, capture, "cs8", {"int8_ingest": int8_ingest}, f"i8_{int8_ingest}"
+        )
+        mqtt = NullMqtt()
+        mqtt.keep_payloads = True
+        scanner = WidebandScanner(cfg, cfg.devices[0], mqtt, recorders_count=4)
+        scanner.run_to_completion()
+        return mqtt.published
+
+    with_int8 = run(True)
+    without = run(False)
+    t_a = [(t, p) for t, p in with_int8 if t.endswith("/transmission/uint8")]
+    t_b = [(t, p) for t, p in without if t.endswith("/transmission/uint8")]
+    assert t_a, "no transmissions detected"
+    assert t_a == t_b, "int8 wideband ingest diverged from the f32 path"
+
+
+def test_pipelined_mesh_ingest_matches(tmp_path):
+    """tunables.pipelined_ingest keeps one wideband block in flight on the
+    mesh; payloads must match the unpipelined mesh run on an isolated-signal
+    scene (key slots sampled one block earlier fall back to the candidate
+    update path, exact for isolated signals -- ops/detect.py contract)."""
+    capture = _write_capture(tmp_path, "cf32")
+
+    def run(pipelined):
+        cfg = _config(
+            tmp_path,
+            capture,
+            "cf32",
+            {"mesh_bands": B, "pipelined_ingest": pipelined},
+            f"pl_{pipelined}",
+        )
+        mqtt = NullMqtt()
+        mqtt.keep_payloads = True
+        scanner = WidebandScanner(cfg, cfg.devices[0], mqtt, recorders_count=4)
+        assert scanner._mesh is not None
+        scanner.run_to_completion()
+        scanner.stop()
+        return mqtt.published
+
+    plain = run(False)
+    piped = run(True)
+    t_a = [(t, p) for t, p in plain if t.endswith("/transmission/uint8")]
+    t_b = [(t, p) for t, p in piped if t.endswith("/transmission/uint8")]
+    assert t_a, "no transmissions detected"
+    assert t_a == t_b, "pipelined mesh ingest diverged"
