@@ -258,6 +258,26 @@ def main() -> int:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr)
 
+    if args.wideband:
+        nb = args.bands or 8  # 8 bands fits the wideband f32 ring in HBM
+        rate = bench_wideband(nb, args.seconds, args.frames)
+        print(
+            f"wideband app path, {nb} bands: {rate/1e6:.1f} Msamples/s "
+            f"({rate/RATE:.1f}x realtime)",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {
+                    "metric": "iq_samples_per_second_per_chip_wideband_app_path",
+                    "value": round(rate, 1),
+                    "unit": "samples/s",
+                    "vs_baseline": round(rate / BASELINE_SAMPLES_PER_S, 2),
+                }
+            )
+        )
+        return 0
+
     # 40 bands measured best (1374.7 M = 67.1x); 48+ spill HBM since the
     # vote row-gather landed (transposed hist tables add ~52 MB/band), 64
     # was already below 32/48 in round 1. Keep the sweep tight so driver
