@@ -45,7 +45,9 @@ RING = 2  # ingest ring depth (blocks) per band
 WARMUP = 3
 
 
-def bench_bands(n_bands: int, seconds: float, host_fed: bool, frames: int = FRAMES):
+def bench_bands(
+    n_bands: int, seconds: float, host_fed: bool, frames: int = FRAMES, bf16: bool = False
+):
     import jax
     import jax.numpy as jnp
 
@@ -59,7 +61,11 @@ def bench_bands(n_bands: int, seconds: float, host_fed: bool, frames: int = FRAM
         init_spectro_acc,
     )
 
-    cfg = ScanConfig.create(RATE, frames_per_block=frames)
+    from rtl_sdr_scanner_tpu.constants import Tunables
+
+    cfg = ScanConfig.create(
+        RATE, frames_per_block=frames, tunables=Tunables(detection_bf16=bf16)
+    )
     assert cfg.fft_size == 131072 and cfg.decimator_factor == 3
     group = cfg.fft_size * cfg.decimator_factor
     block = cfg.block_samples
@@ -250,6 +256,11 @@ def main() -> int:
     parser.add_argument("--seconds", type=float, default=6.0)
     parser.add_argument("--bands", type=int, default=0, help="fixed band count (0 = sweep)")
     parser.add_argument("--frames", type=int, default=FRAMES, help="frames per block (multiple of 5)")
+    parser.add_argument(
+        "--bf16",
+        action="store_true",
+        help="detection-selection tolerance mode (tunables.detection_bf16)",
+    )
     args = parser.parse_args()
 
     import jax
@@ -287,7 +298,7 @@ def main() -> int:
     best_bands = 1
     for nb in band_counts:
         try:
-            rate = bench_bands(nb, args.seconds, args.host_fed, args.frames)
+            rate = bench_bands(nb, args.seconds, args.host_fed, args.frames, args.bf16)
         except Exception as exc:
             print(f"bands={nb}: failed ({type(exc).__name__}: {exc})", file=sys.stderr)
             continue

@@ -67,6 +67,13 @@ class Tunables:
     # compact mode geometry: candidate capacity and tracked-key slots
     detection_top_k: int = 64
     detection_key_slots: int = 16
+    # tolerance mode: the detection SELECTION sweeps (top-k, margin greedy,
+    # history-vote table -- the memory-bound majority of device time) read
+    # bf16 copies of the rows; every reported value stays exact f32 (powers
+    # re-gathered at the selected bins). Selection can differ from f32 mode
+    # only between bins within bf16 epsilon (~2^-8 relative) of each other.
+    # Off by default: compact f32 == full-row f32 stays the parity ladder.
+    detection_bf16: bool = False
     # persist learned noise floors across restarts ("" = relearn like the
     # reference, noise_learner.cpp:69-72); path gets the device name appended
     noise_state_path: str = ""

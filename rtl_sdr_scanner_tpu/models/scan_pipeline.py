@@ -59,6 +59,9 @@ class ScanConfig:
     noise_learning_ms: int = 2000
 
     use_pallas_psd: bool = False
+    # tolerance mode: detection SELECTION sweeps read bf16 row copies;
+    # reported values stay f32 (ops/detect.py compact_detection docstring)
+    detection_bf16: bool = False
 
     @classmethod
     def create(
@@ -84,6 +87,7 @@ class ScanConfig:
             grouping_y=tunables.grouping_y,
             noise_learning_ms=tunables.noise_learning_time_ms,
             use_pallas_psd=tunables.use_pallas_psd,
+            detection_bf16=tunables.detection_bf16,
         )
 
     @property
@@ -257,6 +261,7 @@ def _compact_scan_block(
         start_level,
         group_size,
         top_k,
+        bf16=cfg.detection_bf16,
     )
     spectro_acc = spectro_acc * spectro_keep + accumulate_frames(power, cfg.spectro_size)
     f32 = lambda a: a.astype(jnp.float32)

@@ -539,7 +539,12 @@ def reset_slot2(state: Ddc2State, slot: int) -> Ddc2State:
 def _modtap_scatter_index(m: int, r_rows: int, tail_len: int, c: int, d: int, q: int):
     """Static gather index building w_full[b, col] = g_rev[col - s - b*m]
     (sentinel slot r_rows*m for out-of-range), plus the final permutation
-    already applied: returns idx [C, D*P] s.t. w[:, k2, dp] = g_pad[idx]."""
+    already applied: returns idx [C, D*P] s.t. w[:, k2, dp] = g_pad[idx].
+
+    Returned as NUMPY (not jnp), like detect._vote_select_onehot: a cached
+    DEVICE array closed over by a jit traces as a constant whose value must
+    be fetched device->host at trace time -- which deadlocks/errors on the
+    axon tunnel when it is the process's first device interaction."""
     p = c // m
     s = q - tail_len
     cols = np.arange(d * c)
@@ -550,7 +555,7 @@ def _modtap_scatter_index(m: int, r_rows: int, tail_len: int, c: int, d: int, q:
     # [P, D*C] -> same permutation as _plan_chunk_matmul: reshape(p, d, c)
     # .transpose(2, 1, 0).reshape(c, d*p)
     idx = t.reshape(p, d, c).transpose(2, 1, 0).reshape(c, d * p)
-    return jnp.asarray(idx.astype(np.int32))
+    return idx.astype(np.int32)
 
 
 def make_mod_tables(

@@ -158,7 +158,7 @@ def _margin_separated_top(rows: jnp.ndarray, k: int, submargin: int):
     bins = jnp.arange(fft, dtype=jnp.int32)[None, :]
     lane = jnp.arange(seg_w, dtype=jnp.int32)
     seg_ids = jnp.arange(s, dtype=jnp.int32)
-    neg = jnp.float32(-3.3e38)
+    neg = jnp.asarray(-3.3e38, rows.dtype)  # keeps bf16 rows in bf16
     rows3 = rows.reshape(f, s, seg_w)
 
     def body(supp, _):
@@ -211,7 +211,7 @@ def _margin_separated_top_1per(rows: jnp.ndarray, k: int, submargin: int):
     """One-winner-per-pass fallback: k read-only argmax sweeps."""
     f, fft = rows.shape
     bins = jnp.arange(fft, dtype=jnp.int32)[None, :]
-    neg = jnp.float32(-3.3e38)
+    neg = jnp.asarray(-3.3e38, rows.dtype)
 
     def body(carry, _):
         supp = carry  # [F, fft] bool
@@ -261,7 +261,9 @@ def sliding_argmax(rows: jnp.ndarray, half: int, max_levels: int = 4):
     # (n-1) + (w - span) + span - 1 = n + w - 2
     total = n + 2 * half + span
     pad_cfg = [(0, 0)] * len(lead)
-    v = jnp.pad(rows.astype(jnp.float32), pad_cfg + [(half, total - n - half)], constant_values=neg)
+    if rows.dtype not in (jnp.float32, jnp.bfloat16):
+        rows = rows.astype(jnp.float32)  # bf16 stays bf16 (tolerance mode)
+    v = jnp.pad(rows, pad_cfg + [(half, total - n - half)], constant_values=neg)
     off8 = jnp.zeros(v.shape, dtype=jnp.int8)
 
     for j in range(j_max):
@@ -445,18 +447,39 @@ def compact_detection(
     start_level: float,
     group_size: int,
     top_k: int,
+    bf16: bool = False,
 ) -> CompactOutputs:
+    """bf16=True is the TOLERANCE mode (tunables.detection_bf16): only the
+    SELECTION sweeps -- top-k, margin-separated greedy, history-vote table --
+    read bf16 copies of the rows (the detection stages' row traffic halves;
+    they are the memory-bound majority of device time, BENCH.md roofline).
+    Every reported VALUE stays exact f32: candidate powers are re-gathered
+    from the f32 rows at the selected bins, and per-key argmax stays f32, so
+    host threshold decisions (add/update/flush) see full-precision numbers.
+    What can move vs f32 mode: which bin WINS a selection when two bins lie
+    within bf16 epsilon (2^-8 relative, ~0.03 dB at the default level 8) of
+    each other -- same-cluster neighbors, absorbed by the +-group re-center;
+    and the vote-support / overflow-count thresholds gain bf16 granularity.
+    Decision-equality is pinned by tests/test_detect_bf16.py; compact f32
+    and full-row f32 remain the exact parity ladder."""
     f, fft = avg.shape
     half = group_size // 2
     neg = jnp.float32(-3.0e38)
 
     masked = jnp.where(valid_mask[None, :], avg, neg)
-    top_val, top_idx = _pooled_top_k(masked, top_k)
+    sel = masked.astype(jnp.bfloat16) if bf16 else masked
+    top_val, top_idx = _pooled_top_k(sel, top_k)
     submargin = group_size // 2 if group_size % 2 == 0 else group_size // 2 + 1
-    sep_val, sep_idx = _margin_separated_top(masked, K_SEP, submargin)
-    cand_val = jnp.concatenate([top_val, sep_val], axis=1)
+    sep_val, sep_idx = _margin_separated_top(sel, K_SEP, submargin)
     cand_idx = jnp.concatenate([top_idx, sep_idx], axis=1)
-    cand_count = jnp.sum(masked >= start_level, axis=-1).astype(jnp.int32)
+    if bf16:
+        # exact f32 powers at the bf16-selected bins (tiny [F, K] gather)
+        cand_val = jnp.take_along_axis(masked, cand_idx, axis=1)
+    else:
+        cand_val = jnp.concatenate([top_val, sep_val], axis=1)
+    cand_count = jnp.sum(
+        sel >= jnp.asarray(start_level, sel.dtype), axis=-1
+    ).astype(jnp.int32)
 
     # history vote: rows k-10..k (global) = hist[k : k+half_depth]. The
     # windowed argmax is precomputed at EVERY center via sliding_argmax
@@ -464,6 +487,8 @@ def compact_detection(
     # tiny flat gather. The per-candidate window gather this replaces was the
     # hottest op in the whole scan step (~245 ms/32-band block).
     hist = jnp.concatenate([prev_tail, raw], axis=0)  # [half_depth-1+F, fft]
+    if bf16:
+        hist = hist.astype(jnp.bfloat16)
     half_depth = prev_tail.shape[0] + 1
     hist_val, hist_idx = sliding_argmax(hist, half)  # [H-1+F, fft]
     vals, idxs = _vote_windows(hist_val, hist_idx, cand_idx, half_depth)  # [F, H, K]

@@ -257,11 +257,14 @@ def make_sharded_banded_ddc(cfg: DdcConfig, mesh: Mesh, n_bands: int):
 
 
 def _tables_structure(cfg: DdcConfig):
-    """A throwaway tables pytree (zero shifts) used only for its STRUCTURE
-    when building shard_map specs."""
-    from rtl_sdr_scanner_tpu.models import ddc_pipeline
+    """A throwaway tables pytree used only for its STRUCTURE when building
+    shard_map specs -- dummy leaves, no table math and no device work."""
+    from rtl_sdr_scanner_tpu.ops.ddc import ModTables, NcoTables
 
-    return ddc_pipeline.make_tables(cfg, np.zeros(cfg.num_slots, dtype=np.int64))
+    z = np.zeros((1,), dtype=np.float32)
+    if cfg.modtap:
+        return ModTables(w=z, rot=NcoTables(z, z, z, z, z))
+    return NcoTables(z, z, z, z, z)
 
 
 def make_time_sharded_scan(
