@@ -84,17 +84,21 @@ def plan_channelizer(
 
 
 class ChannelizerState(NamedTuple):
-    tail: jnp.ndarray  # [tail_len] complex64 -- last input samples of prev block
+    # last input samples of the previous block as f32 (re, im) PAIRS:
+    # complex64 must never exist at a jit boundary / as an eager device
+    # array -- creating one outside jit breaks the axon TPU tunnel process
+    # (see .claude/skills/verify/SKILL.md); complex math stays in-jit only
+    tail: jnp.ndarray  # [tail_len, 2] f32
 
 
 def init_channelizer_state(plan: ChannelizerPlan) -> ChannelizerState:
-    return ChannelizerState(tail=jnp.zeros((plan.tail_len,), dtype=jnp.complex64))
+    return ChannelizerState(tail=jnp.zeros((plan.tail_len, 2), dtype=jnp.float32))
 
 
 def channelize_block(
     plan: ChannelizerPlan, state: ChannelizerState, x: jnp.ndarray
 ) -> Tuple[ChannelizerState, jnp.ndarray]:
-    """x: [n] complex64, n % B == 0 -> channels [B, n // B] complex64.
+    """x: [n] complex64 (in-jit), n % B == 0 -> channels [B, n // B] complex64.
 
     Channel b is the sub-band centered at +b*R/B relative to the wideband
     center (b >= B/2 wraps negative).
@@ -102,7 +106,8 @@ def channelize_block(
     b = plan.num_channels
     n = x.shape[0]
     assert n % b == 0, (n, b)
-    ext = jnp.concatenate([state.tail, x])
+    tail_c = jax.lax.complex(state.tail[:, 0], state.tail[:, 1])
+    ext = jnp.concatenate([tail_c, x])
     rows = ext.reshape(-1, b)  # rows[m, p] = ext[m*B + p]
     branches = rows.T  # [B, M] branch signals x_p
     kernels = jnp.asarray(plan.branch_kernels)
@@ -124,7 +129,12 @@ def channelize_block(
     # v: [B, n//B]; DFT over the branch axis gives the channels
     channels = jnp.fft.fft(v, axis=0).astype(jnp.complex64)
     new_tail = ext[-plan.tail_len :]
-    return ChannelizerState(tail=new_tail), channels
+    return (
+        ChannelizerState(
+            tail=jnp.stack([jnp.real(new_tail), jnp.imag(new_tail)], axis=-1)
+        ),
+        channels,
+    )
 
 
 def channelize_block_pairs(
@@ -167,14 +177,16 @@ def channelize_block_pairs(
 class Channelizer2xState(NamedTuple):
     even: ChannelizerState  # bank state on x
     odd: ChannelizerState  # bank state on x delayed by B/2
-    carry: jnp.ndarray  # [B/2] complex64: last B/2 input samples
+    # last B/2 input samples as f32 pairs (same jit-boundary rule as
+    # ChannelizerState.tail)
+    carry: jnp.ndarray  # [B/2, 2] f32
 
 
 def init_channelizer2x_state(plan: ChannelizerPlan) -> Channelizer2xState:
     return Channelizer2xState(
         even=init_channelizer_state(plan),
         odd=init_channelizer_state(plan),
-        carry=jnp.zeros((plan.num_channels // 2,), dtype=jnp.complex64),
+        carry=jnp.zeros((plan.num_channels // 2, 2), dtype=jnp.float32),
     )
 
 
@@ -197,7 +209,8 @@ def channelize_block_2x(
 
     # odd bank input: x delayed by B/2 (previous block's tail; zeros before
     # the first block = standard zero-history filter start)
-    x_odd = jnp.concatenate([state.carry, x[: n - h]])
+    carry_c = jax.lax.complex(state.carry[:, 0], state.carry[:, 1])
+    x_odd = jnp.concatenate([carry_c, x[: n - h]])
     odd_state, ch_odd = channelize_block(plan, state.odd, x_odd)
     signs = jnp.where(np.arange(b) % 2 == 0, 1.0, -1.0).astype(np.float32)[:, None]
     ch_odd = ch_odd * signs
@@ -205,8 +218,13 @@ def channelize_block_2x(
     m = n // b
     # odd sample y(tB - h) precedes even sample y(tB)
     out = jnp.stack([ch_odd, ch_even], axis=-1).reshape(b, 2 * m)
+    new_carry = x[n - h :]
     return (
-        Channelizer2xState(even=even_state, odd=odd_state, carry=x[n - h :]),
+        Channelizer2xState(
+            even=even_state,
+            odd=odd_state,
+            carry=jnp.stack([jnp.real(new_carry), jnp.imag(new_carry)], axis=-1),
+        ),
         out,
     )
 

@@ -203,7 +203,7 @@ def test_oversampled_edge_signal_flat():
     amp2 = np.abs(np.asarray(out2)[1, 200:]).mean()  # channel 1, post-startup
 
     plan1 = plan_channelizer(b)
-    st1 = ChannelizerState(tail=jnp.zeros((plan1.tail_len,), dtype=jnp.complex64))
+    st1 = init_channelizer_state(plan1)
     _, out1 = channelize_block(plan1, st1, jnp.asarray(x))
     amp1 = np.abs(np.asarray(out1)[1, 200:]).mean()
 

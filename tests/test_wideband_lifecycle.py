@@ -151,3 +151,49 @@ def test_pipelined_mesh_ingest_matches(tmp_path):
     t_b = [(t, p) for t, p in piped if t.endswith("/transmission/uint8")]
     assert t_a, "no transmissions detected"
     assert t_a == t_b, "pipelined mesh ingest diverged"
+
+
+def test_single_band_scanner_final_spectro_flush(tmp_path):
+    """Scanner.stop() must flush the last partial send-interval of waterfall
+    data too (same guarantee the wideband path has)."""
+    from rtl_sdr_scanner_tpu.runtime.config import Config
+    from rtl_sdr_scanner_tpu.runtime.scanner import Scanner
+
+    rate = 256000
+    rng = np.random.default_rng(3)
+    n = int(rate * 0.8)  # shorter than the 1 s spectrogram send interval
+    iq = 0.01 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    capture = tmp_path / "short.cf32"
+    iq.astype(np.complex64).view(np.float32).tofile(capture)
+
+    raw = default_config_json()
+    raw["recording"] = {
+        "max_noise_time_ms": 1000,
+        "min_sample_rate": 16000,
+        "min_time_ms": 1000,
+        "step": 2500,
+    }
+    raw["devices"] = [
+        {
+            "enabled": True,
+            "serial": "short0",
+            "driver": "replay",
+            "sample_rate": rate,
+            "start_recording_level": 8,
+            "stop_recording_level": 5,
+            "gains": [],
+            "ranges": [{"start": CENTER - 100000, "stop": CENTER + 100000}],
+            "file": str(capture),
+            "file_format": "cf32",
+        }
+    ]
+    p = tmp_path / "cfg_short.json"
+    p.write_text(json.dumps(raw))
+    cfg = Config.load_from_file(str(p), scan_hardware=False)
+    mqtt = NullMqtt()
+    mqtt.keep_payloads = True
+    scanner = Scanner(cfg, cfg.devices[0], mqtt, recorders_count=2)
+    scanner.run_to_completion()
+    assert not any(t.endswith("/spectrogram") for t, _ in mqtt.published)
+    scanner.stop()
+    assert any(t.endswith("/spectrogram") for t, _ in mqtt.published)
