@@ -152,8 +152,11 @@ def bench_wideband(n_bands: int, seconds: float, frames: int = FRAMES):
     dispatch (make_sharded_banded_ddc) -- exactly what WidebandScanner mesh
     mode runs per block, minus host ingest (the wideband f32 pairs stream
     from an HBM ring like the headline bench). Compare against
-    `--bands <same N>` (the fused vmapped step) to see the app-path overhead:
-    the channelizer + the scan/DDC dispatch split should cost <~10%.
+    `--bands <same N> --frames <same F> --f32` (the fused vmapped step):
+    measured 364.7 M vs 667.6 M at 8 bands x F=20 -- the gap is the
+    polyphase bank + f32 ring + dispatch split the fused bench does not pay
+    (BENCH.md "Wideband app-path" section). F=20 is the supported wideband
+    geometry; F=45 OOMs HBM at 8 bands.
     """
     import jax
     import jax.numpy as jnp

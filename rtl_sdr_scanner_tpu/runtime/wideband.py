@@ -411,8 +411,16 @@ class WidebandScanner:
         return self._sessions
 
     def manual_record(self, frequency: int, duration_ms: int) -> bool:
-        """Route a manual recording to the sub-band session covering it."""
-        for session in self._sessions:
+        """Route a manual recording to the sub-band session covering it.
+
+        Under multihost every process receives the MQTT request; only the
+        process that OWNS the covering band arms it (its sessions are the
+        only ones fed), so exactly one recording happens."""
+        local = (
+            self._local_bands if self._mesh is not None else range(len(self._sessions))
+        )
+        for ch in local:
+            session = self._sessions[ch]
             lo, hi = session._frequency_range
             if lo <= frequency <= hi:
                 session.request_manual_recording(frequency, duration_ms)
