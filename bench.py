@@ -185,10 +185,10 @@ def bench_wideband(n_bands: int, seconds: float, frames: int = FRAMES):
 
     rng = np.random.default_rng(0)
     n_wide = n_bands * block
+    # int8 cs8 ring, like the headline bench and the app's int8 wideband
+    # ingest (the channelizer dequantizes in-jit at 1/127.5)
     ring = [
-        jax.device_put(
-            (rng.integers(-32, 32, size=(n_wide, 2)) / 127.5).astype(np.float32)
-        )
+        jax.device_put(rng.integers(-32, 32, size=(n_wide, 2), dtype=np.int8))
         for _ in range(RING)
     ]
     jax.block_until_ready(ring)

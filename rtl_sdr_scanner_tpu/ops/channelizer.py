@@ -39,14 +39,6 @@ class ChannelizerPlan(NamedTuple):
     taps_per_branch: int
     branch_kernels: np.ndarray  # [B, taps_per_branch] f32, conv-ready (reversed)
     tail_len: int  # input samples carried between blocks
-    # DFT folded into dense conv kernels: C[b, p, t] = W[b, p] * h_p[t] with
-    # W = exp(-2j pi b p / B). One [B out, B in, T] conv then equals
-    # conv-per-branch followed by the length-B DFT -- but as a dense-channel
-    # MXU contraction instead of a pathological 1-channel-per-group conv plus
-    # an axis-0 FFT with two full-stream transposes (BENCH.md conv rule:
-    # 1-output-channel convs run ~300x under peak).
-    dense_re: np.ndarray  # [B, B, taps_per_branch] f32
-    dense_im: np.ndarray  # [B, B, taps_per_branch] f32
 
 
 @functools.lru_cache(maxsize=16)
@@ -83,17 +75,11 @@ def plan_channelizer(
     # conv implementation is cross-correlation with reversed kernels
     kernels = kernels[:, ::-1].copy()
     tail_rows = n_taps - 1
-    # fold the branch DFT into dense complex kernels (f64 math, f32 cast)
-    bb, pp = np.meshgrid(np.arange(b), np.arange(b), indexing="ij")
-    w = np.exp(-2j * np.pi * bb * pp / b)  # [B out, B branch]
-    dense = w[:, :, None] * kernels[None, :, :]
     return ChannelizerPlan(
         num_channels=b,
         taps_per_branch=n_taps,
         branch_kernels=kernels.astype(np.float32),
         tail_len=tail_rows * b,
-        dense_re=np.ascontiguousarray(dense.real).astype(np.float32),
-        dense_im=np.ascontiguousarray(dense.imag).astype(np.float32),
     )
 
 
@@ -124,23 +110,29 @@ def channelize_block(
     ext = jnp.concatenate([tail_c, x])
     rows = ext.reshape(-1, b)  # rows[m, p] = ext[m*B + p]
     branches = rows.T  # [B, M] branch signals x_p
-    c_re = jnp.asarray(plan.dense_re)  # [B out, B in, T]
-    c_im = jnp.asarray(plan.dense_im)
+    kernels = jnp.asarray(plan.branch_kernels)
 
-    def conv(sig, rhs):
-        # dense-channel conv = branch FIR + length-B DFT in one contraction
+    def conv_part(sig_part):
+        # grouped conv: each branch filtered by its own kernel, VALID.
+        # Negative result kept for the record (BENCH.md): folding the
+        # length-B DFT into dense [B, B, T] kernels to make this "MXU
+        # friendly" measured 1.5x SLOWER on v5e (365 -> 243 Msamples/s
+        # wideband app path) -- an 8-channel conv pads the channel dim to
+        # 128 lanes at 6% utilization, worse than grouped conv + fft.
+        lhs = sig_part[None]  # [1, B, M]
+        rhs = kernels[:, None, :]  # [B out, 1 in/group, T]
         return jax.lax.conv_general_dilated(
-            sig[None],
+            lhs,
             rhs,
             window_strides=(1,),
             padding="VALID",
             dimension_numbers=("NCW", "OIW", "NCW"),
+            feature_group_count=b,
         )[0]
 
-    xr, xi = jnp.real(branches), jnp.imag(branches)
-    channels = jax.lax.complex(
-        conv(xr, c_re) - conv(xi, c_im), conv(xr, c_im) + conv(xi, c_re)
-    )
+    v = conv_part(jnp.real(branches)) + 1j * conv_part(jnp.imag(branches))
+    # v: [B, n//B]; DFT over the branch axis gives the channels
+    channels = jnp.fft.fft(v, axis=0).astype(jnp.complex64)
     new_tail = ext[-plan.tail_len :]
     return (
         ChannelizerState(
