@@ -39,6 +39,16 @@ class ChannelizerPlan(NamedTuple):
     taps_per_branch: int
     branch_kernels: np.ndarray  # [B, taps_per_branch] f32, conv-ready (reversed)
     tail_len: int  # input samples carried between blocks
+    # chunked-matmul form (the DDC stage-1 machinery, ops/ddc.py): channel b
+    # is a decimate-by-B FIR over the raw stream with the complex kernel
+    # G[b, t*B + p] = W[b, p] * branch_kernel[p, t] (W = exp(-2j pi b p / B)),
+    # which _modtap_stage1 runs as ONE [.., C] @ [C, B*2*D*P] MXU contraction
+    # with B*2*D*P real output columns -- the utilization the 8-channel dense
+    # conv could not reach (BENCH.md negative result). g_pad/idx are small
+    # host constants; the weight matrix is assembled in-jit.
+    mm_plan: object  # ops/ddc.StagePlan for (decim=B, r_rows=T) or None
+    mm_g_pad: np.ndarray  # [B, 2, T*B + 1] f32 complex kernels (+ zero slot)
+    mm_idx: np.ndarray  # [C, D*P] int32 scatter index
 
 
 @functools.lru_cache(maxsize=16)
@@ -75,11 +85,52 @@ def plan_channelizer(
     # conv implementation is cross-correlation with reversed kernels
     kernels = kernels[:, ::-1].copy()
     tail_rows = n_taps - 1
+    tail_len = tail_rows * b
+
+    # chunked-matmul form: forward kernels G[b, t*B + p] = W[b,p] k[p,t].
+    # Window algebra (see channelize_block_mm): with r_rows = n_taps,
+    # tail_len = (T-1)*B and g_rev := G (NO extra reversal), the stage's
+    # output mm equals sum_u G[u] * ext[mm*B + u] -- exactly the conv+fft
+    # channels. f64 table math, f32 cast.
+    from rtl_sdr_scanner_tpu.ops.ddc import (
+        StagePlan,
+        _modtap_scatter_index,
+        _plan_chunk_matmul,
+    )
+
+    bb, pp_ = np.meshgrid(np.arange(b), np.arange(b), indexing="ij")
+    w_dft = np.exp(-2j * np.pi * bb * pp_ / b)  # [B, B]
+    g = np.zeros((b, n_taps * b), dtype=np.complex128)
+    for p in range(b):
+        for t in range(n_taps):
+            g[:, t * b + p] = w_dft[:, p] * kernels[p, t]
+    g_pad = np.concatenate(
+        [
+            np.stack([g.real, g.imag], axis=1),
+            np.zeros((b, 2, 1)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+
+    c, d, q, _ = _plan_chunk_matmul(b, n_taps, np.zeros(n_taps * b), tail_len)
+    if c > 0:
+        mm_plan = StagePlan(
+            1, b, n_taps * b, tail_len,
+            np.zeros(1, np.float32), np.zeros((1, 1, 1), np.float32),
+            n_taps, c, d, q, np.zeros((0, 0), np.float32),
+        )
+        mm_idx = np.asarray(_modtap_scatter_index(b, n_taps, tail_len, c, d, q))
+    else:  # pragma: no cover - every pow2 B fits the matmul form
+        mm_plan, mm_idx = None, np.zeros((0, 0), np.int32)
+
     return ChannelizerPlan(
         num_channels=b,
         taps_per_branch=n_taps,
         branch_kernels=kernels.astype(np.float32),
-        tail_len=tail_rows * b,
+        tail_len=tail_len,
+        mm_plan=mm_plan,
+        mm_g_pad=g_pad,
+        mm_idx=mm_idx,
     )
 
 
@@ -101,11 +152,14 @@ def channelize_block(
     """x: [n] complex64 (in-jit), n % B == 0 -> channels [B, n // B] complex64.
 
     Channel b is the sub-band centered at +b*R/B relative to the wideband
-    center (b >= B/2 wraps negative).
-    """
+    center (b >= B/2 wraps negative). Production path: the chunked-matmul
+    form (one MXU contraction, plan.mm_*); the grouped-conv + length-B fft
+    form below is the fallback/oracle (tests pin their equality)."""
     b = plan.num_channels
     n = x.shape[0]
     assert n % b == 0, (n, b)
+    if plan.mm_plan is not None:
+        return _channelize_block_mm(plan, state, x)
     tail_c = jax.lax.complex(state.tail[:, 0], state.tail[:, 1])
     ext = jnp.concatenate([tail_c, x])
     rows = ext.reshape(-1, b)  # rows[m, p] = ext[m*B + p]
@@ -140,6 +194,29 @@ def channelize_block(
         ),
         channels,
     )
+
+
+def _channelize_block_mm(
+    plan: ChannelizerPlan, state: ChannelizerState, x: jnp.ndarray
+) -> Tuple[ChannelizerState, jnp.ndarray]:
+    """Chunked-matmul bank: channels[b, m] = sum_u G[b, u] ext[m*B + u] with
+    ext = [carried tail, x] -- run by the DDC's _modtap_stage1 as one
+    [.., C] @ [C, B*2*D*P] contraction (B*2*D*P real output columns feed the
+    MXU properly; the 8-channel conv/fft forms could not)."""
+    from rtl_sdr_scanner_tpu.ops.ddc import _modtap_stage1
+
+    b = plan.num_channels
+    p0 = plan.mm_plan
+    gp = jnp.asarray(plan.mm_g_pad)  # [B, 2, RM+1] small host constant
+    w = jnp.moveaxis(gp[:, :, plan.mm_idx], 2, 0).reshape(
+        p0.chunk_c, b * 2 * plan.mm_idx.shape[1]
+    )
+    xs = jnp.stack([jnp.real(x), jnp.imag(x)], axis=0)  # [2, n]
+    y_re, y_im, new_tail = _modtap_stage1(
+        xs[None], state.tail.T[None], w[None], p0, b
+    )
+    channels = jax.lax.complex(y_re[0], y_im[0])  # [B, n // B]
+    return ChannelizerState(tail=new_tail[0].T), channels
 
 
 def channelize_block_pairs(

@@ -209,3 +209,34 @@ def test_oversampled_edge_signal_flat():
 
     assert amp2 > 0.9, amp2  # flat in the widened passband
     assert amp1 < 0.6, amp1  # attenuated at the critical bank's edge
+
+
+def test_matmul_bank_equals_conv_fft_bank():
+    """The chunked-matmul production path must match the grouped-conv+fft
+    oracle form block by block, including the streaming tail carry."""
+    from rtl_sdr_scanner_tpu.ops.channelizer import (
+        channelize_block,
+        init_channelizer_state,
+        plan_channelizer,
+    )
+
+    for b in (4, 8, 16):
+        plan = plan_channelizer(b)
+        assert plan.mm_plan is not None, b
+        plan_ref = plan._replace(mm_plan=None)  # forces the conv+fft form
+        rng = np.random.default_rng(40 + b)
+        st_mm = init_channelizer_state(plan)
+        st_ref = init_channelizer_state(plan_ref)
+        for blk in range(3):
+            n = b * 512
+            x = (rng.standard_normal(n) + 1j * rng.standard_normal(n)).astype(
+                np.complex64
+            )
+            st_mm, ch_mm = channelize_block(plan, st_mm, jnp.asarray(x))
+            st_ref, ch_ref = channelize_block(plan_ref, st_ref, jnp.asarray(x))
+            np.testing.assert_allclose(
+                np.asarray(ch_mm), np.asarray(ch_ref), atol=2e-5, rtol=2e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(st_mm.tail), np.asarray(st_ref.tail), atol=1e-6
+            )
