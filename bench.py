@@ -150,13 +150,11 @@ def bench_wideband(n_bands: int, seconds: float, frames: int = FRAMES):
     ONE sharded dispatch channelizing the wideband block in-mesh + all bands'
     compact scan (make_sharded_wideband_step), then ONE banded K*B-slot DDC
     dispatch (make_sharded_banded_ddc) -- exactly what WidebandScanner mesh
-    mode runs per block, minus host ingest (the wideband f32 pairs stream
-    from an HBM ring like the headline bench). Compare against
-    `--bands <same N> --frames <same F> --f32` (the fused vmapped step):
-    measured 364.7 M vs 667.6 M at 8 bands x F=20 -- the gap is the
-    polyphase bank + f32 ring + dispatch split the fused bench does not pay
-    (BENCH.md "Wideband app-path" section). F=20 is the supported wideband
-    geometry; F=45 OOMs HBM at 8 bands.
+    mode runs per block, minus host ingest (an int8 cs8 HBM ring like the
+    headline bench). Compare against `--bands <same N> --frames <same F>
+    --f32` (the fused vmapped step): measured 651.4 M vs 667.6 M at 8 bands
+    x F=20 -- within 2.4% once the channelizer became the chunked-matmul
+    bank (BENCH.md "Wideband app-path" section).
     """
     import jax
     import jax.numpy as jnp
