@@ -165,3 +165,50 @@ def test_candidate_overflow_counter_unit():
         cand_idx, cand_val, cand_best, k + 100, slot_keys, key_val, key_idx, 300
     )
     assert tracker.candidate_overflow_count == 2  # counts every frame
+
+
+def test_ksep_saturated_scene_bf16_containment():
+    """The bf16 selection tolerance mode under candidate saturation (24
+    clusters > K_SEP): like f32 compact mode it may delay adds, must never
+    add a wrong key, must lose no cluster, and must surface the overflow."""
+    import jax.numpy as jnp
+
+    n_signals = 24
+    rng = np.random.default_rng(124)
+    spacing = FFT // (n_signals + 1)
+    centers = [(i + 1) * spacing for i in range(n_signals)]
+    n_blocks = 6
+    rows = _make_rows(rng, centers, n_blocks * FRAMES)
+
+    tracker = _make_tracker()
+    valid = jnp.asarray(np.ones(FFT, dtype=bool))
+    history = np.zeros((HALF_DEPTH - 1, FFT), dtype=np.float32)
+    first_seen: dict = {}
+    frame = 0
+    for b in range(n_blocks):
+        block = rows[b * FRAMES : (b + 1) * FRAMES]
+        slot_keys = tracker.current_keys(KEY_SLOTS)
+        compact = compact_detection(
+            jnp.asarray(block), jnp.asarray(block), jnp.asarray(history),
+            jnp.asarray(slot_keys), valid, jnp.float32(START_LEVEL),
+            GROUP, TOP_K, bf16=True,
+        )
+        ci, cv = np.asarray(compact.cand_idx), np.asarray(compact.cand_val)
+        cb, cc = np.asarray(compact.cand_best), np.asarray(compact.cand_count)
+        kv, ki = np.asarray(compact.key_val), np.asarray(compact.key_idx)
+        assert cv.dtype == np.float32  # values re-gathered exactly
+        history = np.concatenate([history, block])[-(HALF_DEPTH - 1) :]
+        for k in range(FRAMES):
+            tracker.process_compact(
+                ci[k], cv[k], cb[k], int(cc[k]), slot_keys, kv[k], ki[k],
+                (frame + 1) * FRAME_MS,
+            )
+            for key in tracker._signals:
+                c = min(centers, key=lambda x: abs(x - key))
+                assert abs(key - c) <= GROUP, (key, c)  # never a wrong add
+                first_seen.setdefault(c, frame)
+            frame += 1
+
+    assert set(first_seen) == set(centers), sorted(set(centers) - set(first_seen))
+    assert max(first_seen.values()) < 30
+    assert tracker.candidate_overflow_count > 0
