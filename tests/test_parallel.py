@@ -176,3 +176,17 @@ def test_time_sharded_scan_matches_serial():
             np.asarray(st_sh.averager.ring), np.asarray(st_se.averager.ring), atol=2e-3
         )
         assert int(st_sh.averager.frames) == int(st_se.averager.frames)
+
+
+def test_time_sharded_modtap_fits_boundaries():
+    """Static geometry gate for the time-sharded streaming DDC."""
+    from rtl_sdr_scanner_tpu.models.ddc_pipeline import DdcConfig
+    from rtl_sdr_scanner_tpu.parallel.sharded_scan import time_sharded_modtap_fits
+
+    cfg = DdcConfig.create(256000, 16000, 2, 491520)
+    assert cfg.modtap
+    assert time_sharded_modtap_fits(cfg, 4)  # the tested runtime geometry
+    assert time_sharded_modtap_fits(cfg, 2)
+    assert not time_sharded_modtap_fits(cfg, 7)  # chunk % (n*decim) != 0
+    # shards smaller than the stage tail cannot halo exactly
+    assert not time_sharded_modtap_fits(cfg, 4096)
