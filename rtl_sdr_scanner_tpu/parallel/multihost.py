@@ -46,10 +46,39 @@ def initialize(
     if coordinator_address is None:
         coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if num_processes is None:
-        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+        raw = os.environ.get("JAX_NUM_PROCESSES", "1")
+        try:
+            num_processes = int(raw)
+        except ValueError:
+            raise ValueError(
+                f"JAX_NUM_PROCESSES must be an integer, got {raw!r}"
+            ) from None
     if process_id is None and os.environ.get("JAX_PROCESS_ID") is not None:
-        process_id = int(os.environ["JAX_PROCESS_ID"])
+        raw = os.environ["JAX_PROCESS_ID"]
+        try:
+            process_id = int(raw)
+        except ValueError:
+            raise ValueError(
+                f"JAX_PROCESS_ID must be an integer, got {raw!r}"
+            ) from None
     if num_processes is not None and num_processes > 1:
+        # validate the env contract up front: jax.distributed.initialize
+        # fails opaquely (or hangs) on a missing coordinator/process id
+        if not coordinator_address:
+            raise ValueError(
+                "multihost launch requires JAX_COORDINATOR_ADDRESS "
+                "(host:port of process 0) when JAX_NUM_PROCESSES > 1"
+            )
+        if process_id is None:
+            raise ValueError(
+                "multihost launch requires JAX_PROCESS_ID "
+                "(0..JAX_NUM_PROCESSES-1) when JAX_NUM_PROCESSES > 1"
+            )
+        if not 0 <= process_id < num_processes:
+            raise ValueError(
+                f"JAX_PROCESS_ID {process_id} out of range for "
+                f"JAX_NUM_PROCESSES {num_processes}"
+            )
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,

@@ -106,6 +106,13 @@ class Config:
         self.mqtt_url = os.environ.get("MQTT_URL", "")
         self.mqtt_username = os.environ.get("MQTT_USER", "")
         self.mqtt_password = os.environ.get("MQTT_PASSWORD", "")
+        # private-CA TLS brokers: path to a CA bundle (PEM). The reference
+        # pins the system store path (mqtt.cpp:81-83 ca_path /etc/ssl/certs);
+        # empty = system store. Env tier like the other MQTT settings, with a
+        # JSON "mqtt": {"ca_file": ...} override for file-managed deployments.
+        self.mqtt_ca_file = os.environ.get(
+            "MQTT_CA_FILE", str(raw.get("mqtt", {}).get("ca_file", ""))
+        )
 
     @property
     def json(self) -> Dict[str, Any]:

@@ -60,6 +60,26 @@ def run(config_file: str) -> int:
 
             multihost.initialize()
             distributed_joined = True
+        if config.tunables.multihost and not any(
+            d.enabled and d.ranges and d.channels >= 2 for d in config.devices
+        ):
+            # without a wideband (channels >= 2) device there is no bands mesh
+            # to span processes: every process would run ALL bands and publish
+            # duplicate detections/recordings to MQTT (round-3 advisor)
+            logger.warn(
+                LABEL,
+                "multihost=true but no enabled wideband (channels>=2) device: "
+                "no bands mesh spans processes, so each process would scan and "
+                "publish every band (duplicates); set tunables.mesh_bands and "
+                "device channels, or run single-process",
+            )
+        elif config.tunables.multihost and not config.tunables.mesh_bands:
+            logger.warn(
+                LABEL,
+                "multihost=true but tunables.mesh_bands is 0: wideband devices "
+                "stay serial on every process and publish duplicates; set "
+                "mesh_bands (-1 = all devices) to span the bands mesh",
+            )
         logger.configure(
             config.console_log_level,
             config.file_log_level,

@@ -53,7 +53,14 @@ class NullMqtt:
 class Mqtt:
     """paho-mqtt wrapper with the reference's threading/queueing shape."""
 
-    def __init__(self, url: str, username: str, password: str, client_id: str = "sdr-scanner"):
+    def __init__(
+        self,
+        url: str,
+        username: str,
+        password: str,
+        client_id: str = "sdr-scanner",
+        ca_file: str = "",
+    ):
         import paho.mqtt.client as paho  # gated import
 
         self._queue: "queue.Queue[Tuple[str, bytes, int]]" = queue.Queue()
@@ -65,7 +72,10 @@ class Mqtt:
         self._client = paho.Client(client_id=client_id, clean_session=True)
         self._client.username_pw_set(username, password)
         if use_tls:
-            self._client.tls_set(ca_certs=None)  # system CA store (mqtt.cpp:82-83)
+            # ca_file: private-CA bundle from config/env (MQTT_CA_FILE);
+            # None = system CA store (the reference pins /etc/ssl/certs,
+            # mqtt.cpp:82-83, which IS the system store on its image)
+            self._client.tls_set(ca_certs=ca_file or None)
         self._client.on_message = self._on_message
         self._client.on_connect = self._on_connect
         self._host, self._port = host, port
@@ -144,7 +154,12 @@ def make_mqtt(config) -> Union[Mqtt, NullMqtt]:
         logger.info(LABEL, "MQTT_URL not set, running without broker")
         return NullMqtt()
     try:
-        return Mqtt(config.mqtt_url, config.mqtt_username, config.mqtt_password)
+        return Mqtt(
+            config.mqtt_url,
+            config.mqtt_username,
+            config.mqtt_password,
+            ca_file=getattr(config, "mqtt_ca_file", ""),
+        )
     except ImportError:
         logger.warn(LABEL, "paho-mqtt unavailable, running without broker")
         return NullMqtt()

@@ -199,6 +199,7 @@ class SdrDevice:
         t = self._tunables
         self._power_sink = FileSink("full", "power") if t.debug_save_full_power else None
         self._raw_iq_sink = FileSink("full", "fc") if t.debug_save_full_raw_iq else None
+        self._raw_iq_sink_starved_logged = False
         self._rec_sinks = (
             [FileSink("recording", "cs8") for _ in range(recorders_count)]
             if t.debug_save_recording_raw_iq
@@ -494,14 +495,23 @@ class SdrDevice:
         self._last_notification = notification
         for _ in range(cfg.frames_per_block):
             self._perf.kick()
-        if (
-            self._raw_iq_sink is not None
-            and self._raw_iq_sink.recording
-            and handle["iq_dev"] is not None
-            and not handle["iq_is_int8"]
-        ):
-            pairs = np.ascontiguousarray(np.asarray(handle["iq_dev"]), dtype=np.float32)
-            self._raw_iq_sink.write(pairs.reshape(-1).view(np.complex64))
+        if self._raw_iq_sink is not None and self._raw_iq_sink.recording:
+            if handle["iq_dev"] is not None and not handle["iq_is_int8"]:
+                pairs = np.ascontiguousarray(
+                    np.asarray(handle["iq_dev"]), dtype=np.float32
+                )
+                self._raw_iq_sink.write(pairs.reshape(-1).view(np.complex64))
+            elif not self._raw_iq_sink_starved_logged:
+                # int8 direct ingest keeps no f32 stream to tap; log once
+                # instead of silently writing an empty capture (round-3
+                # advisor -- the mesh case now feeds channels rows instead)
+                self._raw_iq_sink_starved_logged = True
+                logger.warn(
+                    LABEL,
+                    "debug_save_full_raw_iq is enabled but this ingest path "
+                    "carries no f32 IQ stream (int8 direct ingest); raw "
+                    "capture will be empty for this session",
+                )
 
         # merge per-frame flush flags into the block-level reconcile
         merged = [(shift, flush_any.get(shift, False)) for shift, _ in notification]
@@ -799,24 +809,27 @@ class SdrDevice:
 
     def flush_spectrogram(self, now_ms: int) -> None:
         """Final flush on session stop: drain the device accumulator and send
-        whatever the current center's container holds, cadence ignored --
-        otherwise the last partial send-interval of waterfall data is lost
-        when the scanner stops (round-2 verdict weak #6)."""
+        whatever EVERY center's container holds, cadence ignored -- otherwise
+        the last partial send-interval of waterfall data is lost when the
+        scanner stops (round-2 verdict weak #6). Frequency-hopping sessions
+        leave partial sums in other centers' containers too (each keyed by
+        its hop center), so all non-empty containers flush, each under its
+        own center frequency (round-3 advisor finding)."""
         self._drain_spectro_acc(now_ms)
-        container = self._spectro_containers.get(self.center_frequency)
-        if container is None or not container.counter:
-            return
-        bins = np.trunc(container.sum / container.counter)
-        bins = np.clip(bins, -128, 127).astype(np.int8)
-        self._data_controller.push_spectrogram(
-            self._session_epoch_ms + now_ms,
-            self.center_frequency,
-            self._device.sample_rate,
-            bins,
-        )
-        container.sum[:] = 0.0
-        container.counter = 0
-        container.last_send_ms = now_ms
+        for center, container in self._spectro_containers.items():
+            if not container.counter:
+                continue
+            bins = np.trunc(container.sum / container.counter)
+            bins = np.clip(bins, -128, 127).astype(np.int8)
+            self._data_controller.push_spectrogram(
+                self._session_epoch_ms + now_ms,
+                center,
+                self._device.sample_rate,
+                bins,
+            )
+            container.sum[:] = 0.0
+            container.counter = 0
+            container.last_send_ms = now_ms
 
     def _accumulate_spectrogram(self, spectro_sum: np.ndarray, now_ms: int) -> None:
         self.ingest_spectro(spectro_sum, self.scan_cfg.frames_per_block, now_ms)

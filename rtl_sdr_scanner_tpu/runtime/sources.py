@@ -178,10 +178,10 @@ class SoapySource:
     def exhausted(self) -> bool:
         return False
 
-    def stream_time_ms(self) -> int:  # pragma: no cover - hardware path
+    def stream_time_ms(self) -> int:
         return int(self._samples_read * 1000 // self._rate)
 
-    def set_center_frequency(self, frequency: int) -> bool:  # pragma: no cover
+    def set_center_frequency(self, frequency: int) -> bool:
         """x10 retry like sdr_source.cpp:82-88."""
         for _ in range(10):
             try:
@@ -191,7 +191,7 @@ class SoapySource:
                 time.sleep(0.01)
         return False
 
-    def reset_buffers(self) -> None:  # pragma: no cover - hardware path
+    def reset_buffers(self) -> None:
         """rtlsdr quirk handling (sdr_source.cpp:68-78): re-set sample rate for
         rtlsdr, reopen the stream otherwise."""
         if self._driver == "rtlsdr":
@@ -200,7 +200,7 @@ class SoapySource:
             self._device.deactivateStream(self._stream)
             self._device.activateStream(self._stream)
 
-    def start_streaming(self) -> None:  # pragma: no cover - hardware path
+    def start_streaming(self) -> None:
         """Decouple the USB read loop from the device feeder via the native
         SPSC ingest ring (native/ring.cpp): a reader thread readStream()s into
         the ring at line rate; read_block() consumes from it. Overflow drops
@@ -259,13 +259,13 @@ class SoapySource:
         ring = getattr(self, "_ring", None)
         return ring.dropped_bytes if ring is not None else 0
 
-    def stop_streaming(self) -> None:  # pragma: no cover - hardware path
+    def stop_streaming(self) -> None:
         self._streaming = False
         if getattr(self, "_reader", None) is not None:
             self._reader.join(timeout=2)
             self._reader = None
 
-    def read_block(self, n_samples: int) -> Optional[np.ndarray]:  # pragma: no cover
+    def read_block(self, n_samples: int) -> Optional[np.ndarray]:
         if getattr(self, "_reader", None) is not None:
             need = n_samples * 8  # complex64 bytes
             chunks = []
@@ -301,7 +301,7 @@ class SoapySource:
     def read_block_int8(self, n_samples: int):  # pragma: no cover
         return None
 
-    def close(self) -> None:  # pragma: no cover - hardware path
+    def close(self) -> None:
         self.stop_streaming()
         self._device.deactivateStream(self._stream)
         self._device.closeStream(self._stream)

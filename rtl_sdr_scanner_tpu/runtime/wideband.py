@@ -351,10 +351,20 @@ class WidebandScanner:
         packed = self._fetch_band_rows(handle["packed_dev"])
         for ch in self._local_bands:
             session = self._sessions[ch]
+            # banded-DDC mode skips per-session DDC (slot recording runs as
+            # ONE sharded dispatch below), so iq_dev is normally dead weight
+            # (each channels[ch] index is a device dispatch) -- EXCEPT when
+            # the debug raw-IQ sink is live, which consumes iq_dev directly
+            # (round-3 advisor: the sink silently produced empty captures)
+            feed_sink = (
+                session._raw_iq_sink is not None and session._raw_iq_sink.recording
+            )
             session.finish_block(
                 {
                     "outs": _PackedOuts(packed[ch]),
-                    "iq_dev": channels[ch] if self._ddc_band_step is None else None,
+                    "iq_dev": channels[ch]
+                    if (self._ddc_band_step is None or feed_sink)
+                    else None,
                     "iq_is_int8": False,
                     "now_arr": now_arr,
                     "slot_keys": keys[ch],

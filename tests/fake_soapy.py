@@ -48,6 +48,8 @@ class FakeDevice:
         synth: Optional[Callable[[int, int, float], np.ndarray]] = None,
         total_samples: Optional[int] = None,
         tune_failures: int = 0,
+        short_read_max: Optional[int] = None,
+        inject_results: Optional[dict] = None,
     ):
         self.args = dict(args)
         self.sample_rates = list(sample_rates)
@@ -68,6 +70,12 @@ class FakeDevice:
         self._cursor = 0
         self._rate = sample_rates[0]
         self._tune_failures = tune_failures
+        # failure repertoire (round-3 verdict #9): drivers routinely return
+        # SHORT reads (fewer elements than asked), transient timeouts, and
+        # error codes mid-stream -- SoapySource must assemble/recover/raise
+        self._short_read_max = short_read_max  # cap elements per readStream
+        self._inject = dict(inject_results or {})  # read call index -> code
+        self.read_calls = 0
 
     # -- configuration (sdr_source.cpp:13-21) -------------------------------
 
@@ -117,11 +125,17 @@ class FakeDevice:
         self.stream_closed = True
 
     def readStream(self, stream, buffs, num_elems, timeoutUs=0):
+        call = self.read_calls
+        self.read_calls += 1
+        if call in self._inject:
+            return _StreamResult(self._inject.pop(call))
         if not self.stream_active:
             return _StreamResult(-2)
         if self._total is not None and self._cursor >= self._total:
             return _StreamResult(SOAPY_SDR_TIMEOUT)
         n = int(num_elems)
+        if self._short_read_max is not None:
+            n = min(n, self._short_read_max)
         if self._total is not None:
             n = min(n, self._total - self._cursor)
         if self._synth is not None:

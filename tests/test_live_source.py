@@ -133,6 +133,86 @@ def test_ingest_ring_overflow_surfaced(monkeypatch):
     src.close()
 
 
+def test_short_reads_assemble_full_blocks(monkeypatch):
+    """Drivers routinely return fewer elements than asked; both the direct
+    and the ring-fed paths must assemble full blocks across short reads
+    without altering the stream (round-3 verdict #9)."""
+    total = RATE // 4
+    synth = fm_synth(SHIFT, 0.0, 1.0)
+    expected = synth(0, total, RATE)
+
+    # direct path: read_block loops until the block is complete
+    src, fake = _make_source(
+        monkeypatch, synth=synth, total_samples=total, short_read_max=777
+    )
+    got = src.read_block(total)
+    np.testing.assert_array_equal(got, expected)
+    assert fake.devices[0].read_calls >= total // 777
+    src.close()
+
+    # ring path: the reader thread fills the ring in short chunks
+    src2, fake2 = _make_source(
+        monkeypatch, synth=synth, total_samples=total, short_read_max=1001
+    )
+    src2.start_streaming()
+    got2 = src2.read_block(total)
+    src2.stop_streaming()
+    np.testing.assert_array_equal(got2, expected)
+    src2.close()
+
+
+def test_transient_timeouts_recover(monkeypatch):
+    """SOAPY_SDR_TIMEOUT mid-stream is benign back-pressure, not an error:
+    the ring reader retries and the stream stays gapless (the reference
+    exit(1)s on ANY negative code, sdr_source.cpp:34-41 -- recovering from
+    timeouts is a deliberate improvement, kept loud only for real errors)."""
+    from tests.fake_soapy import SOAPY_SDR_TIMEOUT
+
+    total = RATE // 4
+    synth = fm_synth(SHIFT, 0.0, 1.0)
+    src, fake = _make_source(
+        monkeypatch,
+        synth=synth,
+        total_samples=total,
+        short_read_max=4096,
+        inject_results={1: SOAPY_SDR_TIMEOUT, 3: SOAPY_SDR_TIMEOUT},
+    )
+    src.start_streaming()
+    got = src.read_block(total)
+    src.stop_streaming()
+    np.testing.assert_array_equal(got, synth(0, total, RATE))
+    assert fake.devices[0].read_calls > 4
+    src.close()
+
+
+def test_stream_error_stops_reader_and_raises(monkeypatch):
+    """A non-timeout readStream error is fatal for the stream: the reader
+    thread stops and the next read_block raises (reference exit(1),
+    sdr_source.cpp:38-41; recovery is the supervisor's job)."""
+    synth = fm_synth(SHIFT, 0.0, 1.0)
+    src, fake = _make_source(
+        monkeypatch,
+        synth=synth,
+        total_samples=RATE,
+        short_read_max=4096,
+        inject_results={2: -7},  # SOAPY_SDR_UNDERFLOW-class hard error
+    )
+    src.start_streaming()
+    with pytest.raises(RuntimeError, match="stream error"):
+        # 2 good short reads land 8192 samples; the error then stops the
+        # reader before the block can complete
+        src.read_block(RATE // 2)
+    src.close()
+
+    # direct path: the error raises immediately
+    src2, fake2 = _make_source(
+        monkeypatch, synth=synth, total_samples=RATE, inject_results={0: -2}
+    )
+    with pytest.raises(RuntimeError, match="readStream error"):
+        src2.read_block(1024)
+    src2.close()
+
+
 def test_ingest_ring_overflow_fatal(monkeypatch):
     """ingest_overflow_fatal stops the stream on the first drop and read_block
     raises -- the replay/CI mode where a drop means a bug."""

@@ -198,3 +198,71 @@ def test_remote_controller_manual_recording_and_restart():
 
     mqtt.inject("sdr/restart/abc", "")
     assert restarted == [True]
+
+
+def test_flush_spectrogram_covers_all_hop_centers(tmp_path):
+    """Frequency-hopping sessions leave partial spectrogram sums in OTHER
+    centers' containers; session-stop flush must send each under its own
+    center frequency (round-3 advisor finding)."""
+    from rtl_sdr_scanner_tpu.runtime.sdr_device import SdrDevice, SpectroContainer
+
+    raw = default_config_json()
+    raw["devices"] = [_device_json(serial="flushdev")]
+    path = tmp_path / "c.json"
+    path.write_text(json.dumps(raw))
+    cfg = Config.load_from_file(str(path), scan_hardware=False)
+    mqtt = NullMqtt()
+    mqtt.keep_payloads = True
+    dev = SdrDevice(cfg, cfg.devices[0], mqtt, recorders_count=1)
+    dev.set_frequency_range((144_000_000, 146_000_000), now_ms=0)
+
+    size = dev.scan_cfg.spectro_size
+    other_center = 147_000_000
+    current = dev.center_frequency
+    for center, level in ((current, 10.0), (other_center, 20.0)):
+        container = SpectroContainer(size, 0)
+        container.sum[:] = level
+        container.counter = 1
+        dev._spectro_containers[center] = container
+
+    dev.flush_spectrogram(5000)
+    spectro = [
+        decode_spectrogram(p) for t, p in mqtt.published if t.endswith("/spectrogram")
+    ]
+    centers = sorted(s[1] + (s[2] - s[1]) // 2 for s in spectro)
+    assert len(spectro) == 2, mqtt.published
+    assert centers == sorted([current, other_center])
+    # every container drained
+    assert all(c.counter == 0 for c in dev._spectro_containers.values())
+
+
+def test_multihost_env_contract_validation(monkeypatch):
+    """initialize() must reject a malformed/missing env contract with a clear
+    error naming the variable (round-3 advisor finding)."""
+    from rtl_sdr_scanner_tpu.parallel import multihost
+
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.setenv("JAX_PROCESS_ID", "0")
+    with pytest.raises(ValueError, match="JAX_COORDINATOR_ADDRESS"):
+        multihost.initialize()
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1234")
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+    with pytest.raises(ValueError, match="JAX_PROCESS_ID"):
+        multihost.initialize()
+
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "two")
+    with pytest.raises(ValueError, match="JAX_NUM_PROCESSES"):
+        multihost.initialize()
+
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "2")
+    monkeypatch.setenv("JAX_PROCESS_ID", "5")
+    with pytest.raises(ValueError, match="out of range"):
+        multihost.initialize()
+
+    # single process: no contract required, no distributed init
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "1")
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+    multihost.initialize()
