@@ -278,7 +278,12 @@ def main() -> int:
         help="seconds per timed window (each geometry runs %d windows; the "
         "JSON reports the median rate and the min-max spread)" % REPEATS,
     )
-    parser.add_argument("--bands", type=int, default=0, help="fixed band count (0 = sweep)")
+    parser.add_argument(
+        "--bands",
+        type=str,
+        default="",
+        help="band count, or comma list to sweep (default: the standard sweep)",
+    )
     parser.add_argument("--frames", type=int, default=FRAMES, help="frames per block (multiple of 5)")
     parser.add_argument(
         "--f32",
@@ -296,7 +301,7 @@ def main() -> int:
     print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr)
 
     if args.wideband:
-        nb = args.bands or 8  # 8 bands fits the wideband f32 ring in HBM
+        nb = int(args.bands.split(",")[0]) if args.bands else 8  # 8 bands fits the wideband f32 ring in HBM
         rates = bench_wideband(nb, args.seconds, args.frames)
         rate, spread = _median_spread(rates)
         print(
@@ -322,7 +327,9 @@ def main() -> int:
     # vote row-gather landed (transposed hist tables add ~52 MB/band), 64
     # was already below 32/48 in round 1. Keep the sweep tight so driver
     # runs stay fast.
-    band_counts = [args.bands] if args.bands else [32, 40]
+    band_counts = (
+        [int(x) for x in args.bands.split(",")] if args.bands else [32, 40]
+    )
     best = 0.0
     best_bands = 1
     best_spread = 0.0

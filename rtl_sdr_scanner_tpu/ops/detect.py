@@ -227,6 +227,45 @@ def _margin_separated_top_1per(rows: jnp.ndarray, k: int, submargin: int):
     return vals.T, idxs.T  # [F, k]
 
 
+def _sliding_span_tables(rows: jnp.ndarray, half: int, max_levels: int):
+    """Shared doubling-table core of the sliding-window argmax family.
+
+    Builds per-position (max value, int8 argmax-offset) tables over 2^J-wide
+    spans via pure shifted slices; returns (v, off8, span, w) in PADDED
+    coordinates (real bin b sits at position b + half; -inf padding on both
+    edges shrinks edge windows like the host get_max_index).
+    """
+    *lead, n = rows.shape
+    w = 2 * half + 1
+    j_max = 0
+    while (1 << (j_max + 1)) <= w and j_max + 1 <= max_levels:
+        j_max += 1
+    span = 1 << j_max  # span actually built, <= largest pow2 <= w
+    assert span <= 128, "int8 offset encoding bounds the window span at 128"
+    assert w <= 128, "int8 window-relative offsets bound the window at 128"
+    neg = -jnp.inf
+    # padded coords: real bin b at position b + half; lookups reach
+    # (n-1) + (w - span) + span - 1 = n + w - 2
+    total = n + 2 * half + span
+    pad_cfg = [(0, 0)] * len(lead)
+    if rows.dtype not in (jnp.float32, jnp.bfloat16):
+        rows = rows.astype(jnp.float32)  # bf16 stays bf16 (tolerance mode)
+    v = jnp.pad(rows, pad_cfg + [(half, total - n - half)], constant_values=neg)
+    off8 = jnp.zeros(v.shape, dtype=jnp.int8)
+
+    for j in range(j_max):
+        step = 1 << j
+        sv = jnp.pad(v[..., step:], pad_cfg + [(0, step)], constant_values=neg)
+        so = jnp.pad(off8[..., step:], pad_cfg + [(0, step)])
+        # the left span's candidate always has the smaller absolute index
+        # (its offset < step <= any right candidate's step + offset), so
+        # v >= sv keeps the first-occurrence tie rule
+        take = v >= sv
+        v = jnp.where(take, v, sv)
+        off8 = jnp.where(take, off8, so + jnp.int8(step))
+    return v, off8, span, w
+
+
 def sliding_argmax(rows: jnp.ndarray, half: int, max_levels: int = 4):
     """(max value, FIRST-max index) over the clamped window [c-half, c+half]
     for EVERY center c, via a sparse table (doubling) + multi-span combine.
@@ -250,33 +289,7 @@ def sliding_argmax(rows: jnp.ndarray, half: int, max_levels: int = 4):
     index traffic than absolute int32); absolute indices materialize once.
     """
     *lead, n = rows.shape
-    w = 2 * half + 1
-    j_max = 0
-    while (1 << (j_max + 1)) <= w and j_max + 1 <= max_levels:
-        j_max += 1
-    span = 1 << j_max  # span actually built, <= largest pow2 <= w
-    assert span <= 128, "int8 offset encoding bounds the window span at 128"
-    neg = -jnp.inf
-    # padded coords: real bin b at position b + half; lookups reach
-    # (n-1) + (w - span) + span - 1 = n + w - 2
-    total = n + 2 * half + span
-    pad_cfg = [(0, 0)] * len(lead)
-    if rows.dtype not in (jnp.float32, jnp.bfloat16):
-        rows = rows.astype(jnp.float32)  # bf16 stays bf16 (tolerance mode)
-    v = jnp.pad(rows, pad_cfg + [(half, total - n - half)], constant_values=neg)
-    off8 = jnp.zeros(v.shape, dtype=jnp.int8)
-
-    for j in range(j_max):
-        step = 1 << j
-        sv = jnp.pad(v[..., step:], pad_cfg + [(0, step)], constant_values=neg)
-        so = jnp.pad(off8[..., step:], pad_cfg + [(0, step)])
-        # the left span's candidate always has the smaller absolute index
-        # (its offset < step <= any right candidate's step + offset), so
-        # v >= sv keeps the first-occurrence tie rule
-        take = v >= sv
-        v = jnp.where(take, v, sv)
-        off8 = jnp.where(take, off8, so + jnp.int8(step))
-
+    v, off8, span, w = _sliding_span_tables(rows, half, max_levels)
     # cover [c, c+w-1] (padded coords) with spans at c, c+span, ...,
     # c+w-span; left-to-right combine keeps the first-occurrence rule
     starts = list(range(0, w - span, span)) + [w - span]
@@ -289,6 +302,37 @@ def sliding_argmax(rows: jnp.ndarray, half: int, max_levels: int = 4):
         bv = jnp.where(take, bv, cv)
         bi = jnp.where(take, bi, pos + s + off8[..., s : s + n].astype(jnp.int32))
     return bv, bi
+
+
+def sliding_argmax_code(
+    rows: jnp.ndarray, half: int, level: jnp.ndarray, max_levels: int = 4
+):
+    """Windowed first-max argmax at every center, compacted to ONE int8 CODE:
+    the argmax's offset from the window start (0..2*half) when the window max
+    is >= level, else -1.
+
+    The history vote consumes exactly (was the max >= start_level?, where)
+    per (row, center) -- transmission.cpp:132-154 counts argmax votes only
+    from rows whose window max clears the level. Folding both into one int8
+    shrinks the vote table to 1 byte/element from the 8 (f32 value + i32
+    index) the sliding_argmax form carried through the transpose + row
+    gather, which is what pushed 48-band geometries into HBM spill
+    (round-3 verdict weak #3). The absolute index reconstructs exactly as
+    center - half + code (the -inf edge padding never wins, so code always
+    points at a real bin).
+    """
+    *lead, n = rows.shape
+    v, off8, span, w = _sliding_span_tables(rows, half, max_levels)
+    starts = list(range(0, w - span, span)) + [w - span]
+    bv = v[..., :n]
+    rel = off8[..., :n]
+    for s in starts[1:]:
+        cv = v[..., s : s + n]
+        take = bv >= cv
+        bv = jnp.where(take, bv, cv)
+        # s + off <= (w - span) + span - 1 = w - 1 <= 127: stays int8
+        rel = jnp.where(take, rel, jnp.int8(s) + off8[..., s : s + n])
+    return jnp.where(bv >= level, rel, jnp.int8(-1))
 
 
 def _windowed_argmax(rows: jnp.ndarray, centers: jnp.ndarray, half: int, fft: int):
@@ -356,6 +400,45 @@ def _vote_windows(
     vals = jnp.einsum("fkr,frh->fhk", gv, sel, precision=hp)
     idxs = jnp.einsum("fkr,frh->fhk", gi, sel, precision=hp).astype(jnp.int32)
     return vals, idxs
+
+
+@functools.lru_cache(maxsize=32)
+def _vote_row_select(f: int, half_depth: int) -> np.ndarray:
+    """Static [F, 1, H] row indices: frame k votes over history rows k..k+H-1.
+
+    numpy (NOT jnp): cached device arrays leak trace constants (see
+    _vote_select_onehot).
+    """
+    return (
+        np.arange(f, dtype=np.int32)[:, None, None]
+        + np.arange(half_depth, dtype=np.int32)[None, None, :]
+    )
+
+
+def _vote_windows_code(
+    code_tbl: jnp.ndarray,  # [R, fft] int8, R = half_depth-1 + F
+    cand_idx: jnp.ndarray,  # [F, K] i32
+    half_depth: int,
+):
+    """Per-frame vote-window selection over the compact int8 code table:
+    out[k, h, c] = code_tbl[k+h, cand[k, c]].
+
+    Same shape of computation as _vote_windows -- transpose so the candidate
+    lookup is a MAJOR-axis row gather (contiguous R-wide rows), then select
+    each frame's H rows -- but the table element is ONE byte (validity +
+    offset fused by sliding_argmax_code) instead of the 8 (f32 value + i32
+    index) the pair form moved, so the transposed working set shrinks 8x.
+    After the row gather the array is tiny ([F, K, R] int8), so the H-of-R
+    selection is a static take_along_axis instead of the one-hot einsum the
+    f32 pair form needed.
+    """
+    f, n_cand = cand_idx.shape
+    g = code_tbl.T[cand_idx]  # [F, K, R] int8 row gather
+    sel = jnp.asarray(_vote_row_select(f, half_depth))  # [F, 1, H]
+    picked = jnp.take_along_axis(
+        g, jnp.broadcast_to(sel, (f, n_cand, half_depth)), axis=2
+    )  # [F, K, H]
+    return picked.transpose(0, 2, 1)  # [F, H, K]: K minor for the mode kernel
 
 
 def _mode_median_ties(votes: jnp.ndarray, valid: jnp.ndarray, fallback: jnp.ndarray):
@@ -482,17 +565,21 @@ def compact_detection(
     ).astype(jnp.int32)
 
     # history vote: rows k-10..k (global) = hist[k : k+half_depth]. The
-    # windowed argmax is precomputed at EVERY center via sliding_argmax
-    # (shifted slices only); the per-(frame, row, candidate) result is then a
-    # tiny flat gather. The per-candidate window gather this replaces was the
-    # hottest op in the whole scan step (~245 ms/32-band block).
+    # windowed argmax is precomputed at EVERY center via the doubling-table
+    # sweep (shifted slices only) and compacted to ONE int8 code per center
+    # (validity-vs-start_level + window offset fused, sliding_argmax_code);
+    # the per-(frame, row, candidate) result is then a row gather of 1-byte
+    # elements. The f32+i32 pair tables this replaces moved 8 bytes/element
+    # through the transpose + gather and spilled HBM at 48 bands.
     hist = jnp.concatenate([prev_tail, raw], axis=0)  # [half_depth-1+F, fft]
     if bf16:
         hist = hist.astype(jnp.bfloat16)
     half_depth = prev_tail.shape[0] + 1
-    hist_val, hist_idx = sliding_argmax(hist, half)  # [H-1+F, fft]
-    vals, idxs = _vote_windows(hist_val, hist_idx, cand_idx, half_depth)  # [F, H, K]
-    votes_valid = vals >= start_level
+    code_tbl = sliding_argmax_code(hist, half, start_level)  # [H-1+F, fft] i8
+    codes = _vote_windows_code(code_tbl, cand_idx, half_depth)  # [F, H, K] i8
+    votes_valid = codes >= 0
+    # absolute vote index = window start + offset (exact: padding never wins)
+    idxs = (cand_idx[:, None, :] - half) + codes.astype(jnp.int32)
     cand_best = _mode_median_ties_unrolled(idxs, votes_valid, cand_idx)  # [F, K]
 
     key_val, key_idx = jax.vmap(lambda row: _windowed_argmax(row, keys, half, fft))(avg)

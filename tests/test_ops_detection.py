@@ -125,3 +125,60 @@ def test_spectrogram_accumulate():
     out = np.asarray(accumulate_frames(jnp.asarray(frames), 8))
     expected = frames.reshape(5, 8, 4).mean(axis=-1).sum(axis=0)
     np.testing.assert_allclose(out, expected, rtol=1e-5)
+
+
+def test_sliding_argmax_code_matches_pair_form():
+    """sliding_argmax_code fuses (window max >= level, first-argmax offset)
+    into one int8; it must agree with sliding_argmax + explicit compare at
+    every center, including shrunken edge windows and ties."""
+    from rtl_sdr_scanner_tpu.ops.detect import sliding_argmax, sliding_argmax_code
+
+    rng = np.random.default_rng(0)
+    n, half, level = 512, 51, 3.0
+    rows = rng.normal(0.0, 4.0, size=(7, n)).astype(np.float32)
+    # force plateaus/ties so the first-occurrence rule is exercised
+    rows[:, 100:160] = np.repeat(rows[:, 100:160:4], 4, axis=1)
+    rows[2, :] = 1.5  # entire row constant (all ties)
+    rows[3, :] = level  # exactly at the level: >= keeps it valid
+
+    bv, bi = sliding_argmax(jnp.asarray(rows), half)
+    code = np.asarray(
+        sliding_argmax_code(jnp.asarray(rows), half, jnp.float32(level))
+    )
+    bv, bi = np.asarray(bv), np.asarray(bi)
+    centers = np.arange(n)
+    valid = bv >= level
+    assert ((code >= 0) == valid).all()
+    np.testing.assert_array_equal(
+        code[valid].astype(np.int32),
+        (bi - (centers[None, :] - half))[valid],
+    )
+    # brute-force oracle on a few centers
+    for c in (0, 1, half, 130, n - half, n - 1):
+        lo, hi = max(0, c - half), min(n, c + half + 1)
+        win = rows[:, lo:hi]
+        np.testing.assert_array_equal(bi[:, c], lo + np.argmax(win, axis=1))
+        np.testing.assert_array_equal(bv[:, c], np.max(win, axis=1))
+
+
+def test_sliding_argmax_code_bf16_mode():
+    """bf16 rows keep working through the code form (tolerance mode)."""
+    from rtl_sdr_scanner_tpu.ops.detect import sliding_argmax_code
+
+    rng = np.random.default_rng(1)
+    rows = rng.normal(0.0, 4.0, size=(3, 256)).astype(np.float32)
+    rows_bf = jnp.asarray(rows).astype(jnp.bfloat16)
+    code = np.asarray(sliding_argmax_code(rows_bf, 11, jnp.float32(2.0)))
+    # decode against a bf16 numpy model
+    import ml_dtypes
+
+    rows_np = rows.astype(ml_dtypes.bfloat16).astype(np.float32)
+    for c in (0, 50, 255):
+        lo, hi = max(0, c - 11), min(256, c + 12)
+        win = rows_np[:, lo:hi]
+        mx = win.max(axis=1)
+        exp_valid = mx >= 2.0
+        np.testing.assert_array_equal(code[:, c] >= 0, exp_valid)
+        got = (c - 11) + code[:, c].astype(np.int32)
+        want = lo + np.argmax(win, axis=1)
+        np.testing.assert_array_equal(got[exp_valid], want[exp_valid])
