@@ -74,7 +74,12 @@ def _timed_windows(dispatch_and_fetch, seconds: float, repeats: int):
 
 
 def bench_bands(
-    n_bands: int, seconds: float, host_fed: bool, frames: int = FRAMES, bf16: bool = False
+    n_bands: int,
+    seconds: float,
+    host_fed: bool,
+    frames: int = FRAMES,
+    bf16: bool = False,
+    pallas_select: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -92,7 +97,9 @@ def bench_bands(
     from rtl_sdr_scanner_tpu.constants import Tunables
 
     cfg = ScanConfig.create(
-        RATE, frames_per_block=frames, tunables=Tunables(detection_bf16=bf16)
+        RATE,
+        frames_per_block=frames,
+        tunables=Tunables(detection_bf16=bf16, use_pallas_select=pallas_select),
     )
     assert cfg.fft_size == 131072 and cfg.decimator_factor == 3
     group = cfg.fft_size * cfg.decimator_factor
@@ -286,6 +293,12 @@ def main() -> int:
     )
     parser.add_argument("--frames", type=int, default=FRAMES, help="frames per block (multiple of 5)")
     parser.add_argument(
+        "--pallas-select",
+        action="store_true",
+        help="use the fused Pallas selection kernel (ops/pallas/select_kernel.py) "
+        "for top-K + margin greedy + count (bit-exact; A/B vs the XLA forms)",
+    )
+    parser.add_argument(
         "--f32",
         action="store_true",
         help="disable the bf16 selection tolerance mode (bf16 is the bench "
@@ -336,7 +349,10 @@ def main() -> int:
     best_n = 0
     for nb in band_counts:
         try:
-            rates = bench_bands(nb, args.seconds, args.host_fed, args.frames, not args.f32)
+            rates = bench_bands(
+                nb, args.seconds, args.host_fed, args.frames, not args.f32,
+                args.pallas_select,
+            )
         except Exception as exc:
             print(f"bands={nb}: failed ({type(exc).__name__}: {exc})", file=sys.stderr)
             continue

@@ -80,6 +80,11 @@ class Tunables:
     # use the fused Pallas PSD kernel (ops/pallas/psd_kernel.py) instead of
     # the XLA chain; requires int8 ingest and a TPU backend
     use_pallas_psd: bool = False
+    # use the fused Pallas selection kernel (ops/pallas/select_kernel.py):
+    # top-K + margin-separated greedy + candidate count in ONE VMEM-resident
+    # pass over each row instead of ~10 full-row HBM sweeps. Bit-exact vs
+    # the XLA forms (tests/test_pallas_select.py).
+    use_pallas_select: bool = False
     # keep one block in flight on the device while the host consumes the
     # previous one (overlaps upload+compute with tracker work; hop decisions
     # shift by <= 1 block). Off by default for deterministic replay parity.

@@ -62,6 +62,8 @@ class ScanConfig:
     # tolerance mode: detection SELECTION sweeps read bf16 row copies;
     # reported values stay f32 (ops/detect.py compact_detection docstring)
     detection_bf16: bool = False
+    # fused Pallas selection kernel (ops/pallas/select_kernel.py), bit-exact
+    use_pallas_select: bool = False
 
     @classmethod
     def create(
@@ -88,6 +90,7 @@ class ScanConfig:
             noise_learning_ms=tunables.noise_learning_time_ms,
             use_pallas_psd=tunables.use_pallas_psd,
             detection_bf16=tunables.detection_bf16,
+            use_pallas_select=tunables.use_pallas_select,
         )
 
     @property
@@ -262,6 +265,7 @@ def _compact_scan_block(
         group_size,
         top_k,
         bf16=cfg.detection_bf16,
+        pallas_select=cfg.use_pallas_select,
     )
     spectro_acc = spectro_acc * spectro_keep + accumulate_frames(power, cfg.spectro_size)
     f32 = lambda a: a.astype(jnp.float32)

@@ -531,6 +531,7 @@ def compact_detection(
     group_size: int,
     top_k: int,
     bf16: bool = False,
+    pallas_select: bool = False,
 ) -> CompactOutputs:
     """bf16=True is the TOLERANCE mode (tunables.detection_bf16): only the
     SELECTION sweeps -- top-k, margin-separated greedy, history-vote table --
@@ -551,18 +552,28 @@ def compact_detection(
 
     masked = jnp.where(valid_mask[None, :], avg, neg)
     sel = masked.astype(jnp.bfloat16) if bf16 else masked
-    top_val, top_idx = _pooled_top_k(sel, top_k)
     submargin = group_size // 2 if group_size % 2 == 0 else group_size // 2 + 1
-    sep_val, sep_idx = _margin_separated_top(sel, K_SEP, submargin)
+    if pallas_select and fft % 1024 == 0 and 2 * submargin + 1 <= 1024:
+        # ONE VMEM-resident pass per row replaces the pooled top-k, the
+        # margin sweep passes, and the count reduce (bit-exact; see
+        # ops/pallas/select_kernel.py and tests/test_pallas_select.py)
+        from rtl_sdr_scanner_tpu.ops.pallas.select_kernel import fused_selection
+
+        top_val, top_idx, sep_val, sep_idx, cand_count = fused_selection(
+            sel, jnp.asarray(start_level, jnp.float32), top_k, K_SEP, submargin
+        )
+    else:
+        top_val, top_idx = _pooled_top_k(sel, top_k)
+        sep_val, sep_idx = _margin_separated_top(sel, K_SEP, submargin)
+        cand_count = jnp.sum(
+            sel >= jnp.asarray(start_level, sel.dtype), axis=-1
+        ).astype(jnp.int32)
     cand_idx = jnp.concatenate([top_idx, sep_idx], axis=1)
     if bf16:
         # exact f32 powers at the bf16-selected bins (tiny [F, K] gather)
         cand_val = jnp.take_along_axis(masked, cand_idx, axis=1)
     else:
         cand_val = jnp.concatenate([top_val, sep_val], axis=1)
-    cand_count = jnp.sum(
-        sel >= jnp.asarray(start_level, sel.dtype), axis=-1
-    ).astype(jnp.int32)
 
     # history vote: rows k-10..k (global) = hist[k : k+half_depth]. The
     # windowed argmax is precomputed at EVERY center via the doubling-table
