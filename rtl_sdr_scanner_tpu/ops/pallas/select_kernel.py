@@ -55,11 +55,11 @@ BIG = 2**30  # plain int: jnp consts captured by the kernel are rejected
 def _selection_kernel(
     level_ref,  # SMEM [1, 1] f32: start level (count threshold)
     row_ref,  # VMEM [1, S, SEG_W]: the masked smoothed row (f32 or bf16)
-    top_val_ref,  # VMEM [1, top_pad] row dtype
-    top_idx_ref,  # VMEM [1, top_pad] i32
-    sep_val_ref,  # VMEM [1, sep_pad] row dtype
-    sep_idx_ref,  # VMEM [1, sep_pad] i32
-    count_ref,  # SMEM [1, 1] i32
+    top_val_ref,  # VMEM [1, 8, top_pad] f32 (8-sublane tile; row 0 is used)
+    top_idx_ref,  # VMEM [1, 8, top_pad] i32
+    sep_val_ref,  # VMEM [1, 8, sep_pad] f32
+    sep_idx_ref,  # VMEM [1, 8, sep_pad] i32
+    count_ref,  # VMEM [1, 8, 128] i32 (8x128 tile; element [0,0] is used)
     work_ref,  # VMEM scratch [S, SEG_W] row dtype
     seg_max_ref,  # VMEM scratch [S, 1] f32
     seg_arg_ref,  # VMEM scratch [S, 1] i32
@@ -79,9 +79,8 @@ def _selection_kernel(
     # candidate count on the pristine row; level cast DOWN to the row dtype
     # exactly like the XLA path (sel >= asarray(level, sel.dtype))
     level = level_ref[0, 0]
-    count_ref[0, 0] = jnp.sum(
-        (row_ref[0] >= level.astype(dtype)).astype(jnp.int32)
-    )
+    count = jnp.sum((row_ref[0] >= level.astype(dtype)).astype(jnp.int32))
+    count_ref[:] = jnp.full(count_ref.shape, count, jnp.int32)
 
     def reduce_seg(s):
         """(max, first-argmax lane) of work row s."""
@@ -118,22 +117,25 @@ def _selection_kernel(
         seg_max_ref[pl.ds(s, 1), :] = jnp.full((1, 1), m, jnp.float32)
         seg_arg_ref[pl.ds(s, 1), :] = jnp.full((1, 1), arg, jnp.int32)
 
-    # winner i lands in output slot i via a masked lane accumulate (dynamic
+    # winner i lands in output lane i via a masked lane accumulate (dynamic
     # minor-dim element stores relayout badly on TPU; a 128-lane select is
-    # one VPU op)
-    top_lane = jax.lax.broadcasted_iota(jnp.int32, top_val_ref.shape, 1)
-    sep_lane = jax.lax.broadcasted_iota(jnp.int32, sep_val_ref.shape, 1)
+    # one VPU op). Outputs carry an 8-sublane tile (Mosaic requires the
+    # trailing block dims be (8k, 128k) or the full array dims); all 8
+    # sublanes get the same value and the caller reads row 0.
+    top_lane = jax.lax.broadcasted_iota(jnp.int32, top_val_ref.shape, 2)
+    sep_lane = jax.lax.broadcasted_iota(jnp.int32, sep_val_ref.shape, 2)
+    negf = jnp.float32(-3.3e38)
 
     # ---- phase 1: exact top-K (single-bin suppression) --------------------
     work_ref[:] = row_ref[0]
     rebuild_tables()
-    top_val_ref[:] = jnp.full(top_val_ref.shape, neg, dtype)
+    top_val_ref[:] = jnp.full(top_val_ref.shape, negf, jnp.float32)
     top_idx_ref[:] = jnp.zeros(top_idx_ref.shape, jnp.int32)
 
     def topk_body(i, _):
         gm, idx = global_winner()
         hit = top_lane == i
-        top_val_ref[:] = jnp.where(hit, gm.astype(dtype), top_val_ref[:])
+        top_val_ref[:] = jnp.where(hit, gm, top_val_ref[:])
         top_idx_ref[:] = jnp.where(hit, idx, top_idx_ref[:])
         s_win = idx // SEG_W
         l_win = idx % SEG_W
@@ -147,13 +149,13 @@ def _selection_kernel(
     # ---- phase 2: margin-separated greedy (zone suppression) --------------
     work_ref[:] = row_ref[0]
     rebuild_tables()
-    sep_val_ref[:] = jnp.full(sep_val_ref.shape, neg, dtype)
+    sep_val_ref[:] = jnp.full(sep_val_ref.shape, negf, jnp.float32)
     sep_idx_ref[:] = jnp.zeros(sep_idx_ref.shape, jnp.int32)
 
     def sep_body(i, _):
         gm, idx = global_winner()
         hit = sep_lane == i
-        sep_val_ref[:] = jnp.where(hit, gm.astype(dtype), sep_val_ref[:])
+        sep_val_ref[:] = jnp.where(hit, gm, sep_val_ref[:])
         sep_idx_ref[:] = jnp.where(hit, idx, sep_idx_ref[:])
         # the +-submargin zone touches at most 2 segment rows
         t0 = jnp.clip((idx - submargin) // SEG_W, 0, n_seg - 1)
@@ -224,11 +226,11 @@ def fused_selection(
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, top_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, top_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sep_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sep_pad), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, top_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, top_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, sep_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, sep_pad), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
             pltpu.VMEM((n_seg, SEG_W), dtype),
@@ -240,18 +242,20 @@ def fused_selection(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((f, top_pad), dtype),
-            jax.ShapeDtypeStruct((f, top_pad), jnp.int32),
-            jax.ShapeDtypeStruct((f, sep_pad), dtype),
-            jax.ShapeDtypeStruct((f, sep_pad), jnp.int32),
-            jax.ShapeDtypeStruct((f, 1), jnp.int32),
+            jax.ShapeDtypeStruct((f, 8, top_pad), jnp.float32),
+            jax.ShapeDtypeStruct((f, 8, top_pad), jnp.int32),
+            jax.ShapeDtypeStruct((f, 8, sep_pad), jnp.float32),
+            jax.ShapeDtypeStruct((f, 8, sep_pad), jnp.int32),
+            jax.ShapeDtypeStruct((f, 8, 128), jnp.int32),
         ],
         interpret=interpret,
     )(level, rows.reshape(f, n_seg, SEG_W))
+    # values ride f32 through the kernel (4-byte tile like the indices); the
+    # cast back to the row dtype is exact -- winners came FROM dtype values
     return (
-        top_val[:, :top_k],
-        top_idx[:, :top_k],
-        sep_val[:, :k_sep],
-        sep_idx[:, :k_sep],
-        count[:, 0],
+        top_val[:, 0, :top_k].astype(dtype),
+        top_idx[:, 0, :top_k],
+        sep_val[:, 0, :k_sep].astype(dtype),
+        sep_idx[:, 0, :k_sep],
+        count[:, 0, 0],
     )

@@ -380,6 +380,8 @@ def make_time_sharded_scan(
             level,
             group_size,
             top_k,
+            bf16=cfg.detection_bf16,
+            pallas_select=cfg.use_pallas_select,
         )
         f32 = lambda a: a.astype(jnp.float32)
         body = jnp.concatenate(
