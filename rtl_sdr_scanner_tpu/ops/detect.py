@@ -98,7 +98,14 @@ def _pooled_top_k(rows: jnp.ndarray, k: int, pool: int = POOL):
         return _two_stage_top_k(rows, k)
     np_cells = n // pool
     pooled = jnp.max(rows.reshape(*lead, np_cells, pool), axis=-1)
-    _, cell_idx = _two_stage_top_k(pooled, k)  # [..., k] value-sorted cells
+    # RECURSE on the pooled cells: the superset lemma composes level by
+    # level (supercell order = cell order = index order), so each level of
+    # pooling runs the expensive per-segment sorts at 1/pool the width.
+    # At fft 131072 this turns 16 top_k-sorts of 1024 into pooling reduces
+    # + 2 such sorts (round-4: selection measured latency-bound on sort
+    # count, not HBM -- 8 passes of row reads are ~7 ms of bandwidth but
+    # the stage cost 69 ms).
+    _, cell_idx = _pooled_top_k(pooled, k, pool)  # [..., k] value-sorted
     cell_idx = jnp.sort(cell_idx, axis=-1)  # back to index order for tie rule
     bin_idx = (
         cell_idx[..., :, None] * pool + jnp.arange(pool, dtype=jnp.int32)
@@ -126,33 +133,47 @@ class CompactOutputs(NamedTuple):
 K_SEP = 16  # margin-separated candidate slots
 
 
-def _margin_separated_top(rows: jnp.ndarray, k: int, submargin: int):
+WINNERS_PER_PASS = 4  # margin-sweep winners extracted per full-row pass
+
+
+def _margin_separated_top(
+    rows: jnp.ndarray, k: int, submargin: int, per_pass: int = 0
+):
     """Greedy strongest-first selection with +-submargin suppression.
 
     Returns the top bin of each of the k strongest margin-separated clusters
     (the reference's add loop can insert at most one signal per margin window,
     contains_with_margin collection_utils.h:16-27).
 
-    Production form: TWO winners per full-row pass (k/2 passes). Each pass
+    Production form: W winners per full-row pass (k/W passes). Each pass
     computes per-1024-segment (max, first-argmax); winner 1 is exact from the
     segment table (first segment holding the max + in-segment first argmax =
     global first-occurrence argmax). Its +-submargin zone touches at most 2
-    segments, which are re-reduced from a gathered copy with the zone masked;
-    winner 2 is then exact from the patched table -- identical to the
-    sequential greedy's second pick. Suppression is a carried BOOL mask
-    (1 byte/bin) applied on the fly, so rows are never rewritten.
+    segments, which are re-reduced from a gathered copy with every IN-PASS
+    zone so far masked (a zone can overlap a later winner's segments before
+    the carried mask sees it), and the table is patched; each later winner is
+    then exact from the patched table -- identical to the sequential greedy.
+    Suppression across passes is a carried BOOL mask (1 byte/bin) applied on
+    the fly, so rows are never rewritten. W=4 measured best on v5e (round 4:
+    the sweep is pass-count-bound, not bandwidth-bound -- 8 full-row passes
+    are ~7 ms of HBM but cost 42 ms).
 
     Negative results kept for the record: (a) masked-f32-carry wrote
     335 MB/iteration; (b) per-segment top-m supersets fail on all-tied
     sentinel rows; (c) max-pool-8 + in-cell-refine argmax per iteration
     relayouts the minor axis every iteration and measured 140 ms vs 59;
     (d) the one-winner-per-pass form (k full-row argmax sweeps) is the
-    fallback below for geometries the segment form does not fit.
+    fallback below for geometries the segment form does not fit;
+    (e) a VMEM-resident Pallas kernel iterating 80 winners lost 2.4x to
+    per-iteration issue latency (ops/pallas/select_kernel.py).
     """
+    per_pass = per_pass or WINNERS_PER_PASS
     f, fft = rows.shape
     seg_w = 1024
     s = fft // seg_w
-    if fft % seg_w != 0 or s < 2 or 2 * submargin + 1 > seg_w or k % 2 != 0:
+    while per_pass > 1 and k % per_pass != 0:
+        per_pass //= 2
+    if fft % seg_w != 0 or s < 2 or 2 * submargin + 1 > seg_w or per_pass < 2:
         return _margin_separated_top_1per(rows, k, submargin)
 
     bins = jnp.arange(fft, dtype=jnp.int32)[None, :]
@@ -163,47 +184,50 @@ def _margin_separated_top(rows: jnp.ndarray, k: int, submargin: int):
 
     def body(supp, _):
         cur3 = jnp.where(supp.reshape(f, s, seg_w), neg, rows3)
-        seg_v = jnp.max(cur3, axis=-1)  # [F, S]
-        seg_a = jnp.argmax(cur3, axis=-1).astype(jnp.int32)  # [F, S]
-        s1 = jnp.argmax(seg_v, axis=-1).astype(jnp.int32)  # [F]
-        v1 = jnp.take_along_axis(seg_v, s1[:, None], axis=-1)[:, 0]
-        idx1 = s1 * seg_w + jnp.take_along_axis(seg_a, s1[:, None], axis=-1)[:, 0]
+        pv = jnp.max(cur3, axis=-1)  # [F, S] patched value table
+        pa = jnp.argmax(cur3, axis=-1).astype(jnp.int32)  # [F, S]
+        vals = []
+        idxs = []
+        for j in range(per_pass):
+            sj = jnp.argmax(pv, axis=-1).astype(jnp.int32)  # [F]
+            vj = jnp.take_along_axis(pv, sj[:, None], axis=-1)[:, 0]
+            ij = sj * seg_w + jnp.take_along_axis(pa, sj[:, None], axis=-1)[:, 0]
+            vals.append(vj)
+            idxs.append(ij)
+            if j == per_pass - 1:
+                break  # last winner of the pass: no patch needed
+            # zone(wj) spans <= 2 segments; re-reduce them with the carried
+            # mask AND every zone found in this pass so far
+            t0 = jnp.clip((ij - submargin) // seg_w, 0, s - 1)
+            t1 = jnp.clip((ij + submargin) // seg_w, 0, s - 1)
+            touched = jnp.stack([t0, t1], axis=1)  # [F, 2]
+            seg_rows = jnp.take_along_axis(rows3, touched[:, :, None], axis=1)
+            seg_supp = jnp.take_along_axis(
+                supp.reshape(f, s, seg_w), touched[:, :, None], axis=1
+            )
+            abs_bins = touched[:, :, None] * seg_w + lane  # [F, 2, seg_w]
+            in_zone = seg_supp
+            for w_idx in idxs:
+                in_zone = in_zone | (
+                    jnp.abs(abs_bins - w_idx[:, None, None]) <= submargin
+                )
+            masked = jnp.where(in_zone, neg, seg_rows)
+            r_v = jnp.max(masked, axis=-1)  # [F, 2]
+            r_a = jnp.argmax(masked, axis=-1).astype(jnp.int32)
+            for t in (0, 1):  # t0 == t1 patches twice with identical values
+                m = seg_ids[None, :] == touched[:, t][:, None]
+                pv = jnp.where(m, r_v[:, t][:, None], pv)
+                pa = jnp.where(m, r_a[:, t][:, None], pa)
+        for w_idx in idxs:
+            supp = supp | (jnp.abs(bins - w_idx[:, None]) <= submargin)
+        return supp, tuple(vals) + tuple(idxs)
 
-        # zone(w1) spans <= 2 segments; re-reduce them with the zone masked
-        t0 = jnp.clip((idx1 - submargin) // seg_w, 0, s - 1)
-        t1 = jnp.clip((idx1 + submargin) // seg_w, 0, s - 1)
-        touched = jnp.stack([t0, t1], axis=1)  # [F, 2]
-        seg_rows = jnp.take_along_axis(rows3, touched[:, :, None], axis=1)
-        seg_supp = jnp.take_along_axis(
-            supp.reshape(f, s, seg_w), touched[:, :, None], axis=1
-        )
-        abs_bins = touched[:, :, None] * seg_w + lane  # [F, 2, seg_w]
-        in_zone = jnp.abs(abs_bins - idx1[:, None, None]) <= submargin
-        masked = jnp.where(seg_supp | in_zone, neg, seg_rows)
-        r_v = jnp.max(masked, axis=-1)  # [F, 2]
-        r_a = jnp.argmax(masked, axis=-1).astype(jnp.int32)
-        pv, pa = seg_v, seg_a
-        for j in (0, 1):  # t0 == t1 patches twice with identical values
-            m = seg_ids[None, :] == touched[:, j][:, None]
-            pv = jnp.where(m, r_v[:, j][:, None], pv)
-            pa = jnp.where(m, r_a[:, j][:, None], pa)
-        s2 = jnp.argmax(pv, axis=-1).astype(jnp.int32)
-        v2 = jnp.take_along_axis(pv, s2[:, None], axis=-1)[:, 0]
-        idx2 = s2 * seg_w + jnp.take_along_axis(pa, s2[:, None], axis=-1)[:, 0]
-
-        supp = (
-            supp
-            | (jnp.abs(bins - idx1[:, None]) <= submargin)
-            | (jnp.abs(bins - idx2[:, None]) <= submargin)
-        )
-        return supp, (v1, idx1, v2, idx2)
-
-    _, (v1s, i1s, v2s, i2s) = jax.lax.scan(
-        body, jnp.zeros(rows.shape, dtype=bool), None, length=k // 2
+    _, outs = jax.lax.scan(
+        body, jnp.zeros(rows.shape, dtype=bool), None, length=k // per_pass
     )
-    # interleave back to greedy order: w1(pass0), w2(pass0), w1(pass1), ...
-    vals = jnp.stack([v1s, v2s], axis=1).reshape(k, f)
-    idxs = jnp.stack([i1s, i2s], axis=1).reshape(k, f)
+    # interleave back to greedy order: w0(pass0), w1(pass0), ..., w0(pass1)
+    vals = jnp.stack(outs[:per_pass], axis=1).reshape(k, f)
+    idxs = jnp.stack(outs[per_pass:], axis=1).reshape(k, f)
     return vals.T, idxs.T  # [F, k]
 
 
