@@ -133,7 +133,12 @@ class CompactOutputs(NamedTuple):
 K_SEP = 16  # margin-separated candidate slots
 
 
-WINNERS_PER_PASS = 4  # margin-sweep winners extracted per full-row pass
+# margin-sweep winners extracted per full-row pass. K_SEP winners in ONE
+# pass measured best on v5e (32.7 / 47.8 / 40.3 / 62.3 ms median for
+# 16/4/8/2 per pass at 32 bands x F=45 bf16): every extra full-row pass
+# re-reads and re-reduces all [F, S, W] rows, while a per-winner patch
+# only re-reduces the <= 2 segments its zone touched.
+WINNERS_PER_PASS = 16
 
 
 def _margin_separated_top(
@@ -145,18 +150,20 @@ def _margin_separated_top(
     (the reference's add loop can insert at most one signal per margin window,
     contains_with_margin collection_utils.h:16-27).
 
-    Production form: W winners per full-row pass (k/W passes). Each pass
-    computes per-1024-segment (max, first-argmax); winner 1 is exact from the
-    segment table (first segment holding the max + in-segment first argmax =
-    global first-occurrence argmax). Its +-submargin zone touches at most 2
-    segments, which are re-reduced from a gathered copy with every IN-PASS
-    zone so far masked (a zone can overlap a later winner's segments before
-    the carried mask sees it), and the table is patched; each later winner is
-    then exact from the patched table -- identical to the sequential greedy.
-    Suppression across passes is a carried BOOL mask (1 byte/bin) applied on
-    the fly, so rows are never rewritten. W=4 measured best on v5e (round 4:
-    the sweep is pass-count-bound, not bandwidth-bound -- 8 full-row passes
-    are ~7 ms of HBM but cost 42 ms).
+    Production form: W winners per full-row pass (k/W passes; W=k -> ONE
+    pass). Each pass computes per-1024-segment (max, first-argmax); winner 1
+    is exact from the segment table (first segment holding the max +
+    in-segment first argmax = global first-occurrence argmax). Its
+    +-submargin zone touches at most 2 segments, which are re-reduced from a
+    gathered copy with every IN-PASS zone so far masked (a zone can overlap
+    a later winner's segments before the carried mask sees it), and the
+    table is patched; each later winner is then exact from the patched table
+    -- identical to the sequential greedy. Suppression across passes is a
+    carried BOOL mask (1 byte/bin) applied on the fly, so rows are never
+    rewritten. All-16-in-one-pass measured best on v5e (median 32.7 ms vs
+    62.3 for 2/pass at 32 bands x F=45 bf16): the sweep is pass-count-bound,
+    not bandwidth-bound, and a per-winner patch re-reduces only <= 2
+    segments while an extra pass re-reduces all of them.
 
     Negative results kept for the record: (a) masked-f32-carry wrote
     335 MB/iteration; (b) per-segment top-m supersets fail on all-tied
