@@ -149,8 +149,10 @@ def main() -> int:
         _margin_separated_top,
         _mode_median_ties,
         _two_stage_top_k,
+        _vote_windows_code,
         _windowed_argmax,
         sliding_argmax,
+        sliding_argmax_code,
     )
 
     half = group_size // 2
@@ -166,6 +168,11 @@ def main() -> int:
         v, i = jax.vmap(lambda x: _two_stage_top_k(x, 64))(r)
         return jnp.sum(v) + jnp.sum(i)
 
+    def sub_topk_patch(r, h):
+        # production top-64: k single-bin-zone patch winners, one pass
+        v, i = jax.vmap(lambda x: _margin_separated_top(x, 64, 0, per_pass=64))(r)
+        return jnp.sum(v) + jnp.sum(i)
+
     def sub_margin(r, h):
         v, i = jax.vmap(lambda x: _margin_separated_top(x, K_SEP, submargin))(r)
         return jnp.sum(v) + jnp.sum(i)
@@ -173,6 +180,16 @@ def main() -> int:
     def sub_slidemax(r, h):
         v, i = jax.vmap(lambda x: sliding_argmax(x, half))(h)
         return jnp.sum(v) + jnp.sum(i)
+
+    def sub_vote_code(r, h):
+        # production vote: int8 code table + row gather + static row select
+        def per_band(rows_b, hist_b):
+            cand_idx = jnp.tile(jnp.arange(80, dtype=jnp.int32)[None, :], (frames, 1))
+            code = sliding_argmax_code(hist_b, half, jnp.float32(8.0))
+            codes = _vote_windows_code(code, cand_idx, half_depth)
+            return jnp.sum(codes.astype(jnp.int32))
+
+        return jnp.sum(jax.vmap(per_band)(r, h))
 
     def sub_vote(r, h):
         def per_band(rows_b, hist_b):
@@ -198,6 +215,8 @@ def main() -> int:
 
     for name, fn in {
         "sub: two-stage top-64": sub_topk,
+        "sub: patch top-64 (production)": sub_topk_patch,
+        "sub: int8-code vote (production)": sub_vote_code,
         "sub: margin-separated (16 sweeps)": sub_margin,
         "sub: sliding_argmax hist": sub_slidemax,
         "sub: hist vote (slidemax+gather+mode)": sub_vote,
