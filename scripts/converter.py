@@ -36,31 +36,39 @@ def file_info(path: str):
     return d or ".", name, ext[1:]
 
 
-def read_raw_iq(path: str, fit: int) -> np.ndarray:
-    _, name, ext = file_info(path)
-    if ext == "cs8" or name.endswith("cs8") or "_cs8" in name:
-        data = np.memmap(path, dtype=np.int8, mode="r").astype(np.complex64) / 127.5
-    elif ext == "cu8" or name.endswith("cu8"):
-        raw = np.memmap(path, dtype=np.uint8, mode="r").astype(np.float32)
-        data = ((raw - 127.5) / 127.5).astype(np.complex64)
-    else:
-        data = np.memmap(path, dtype=np.complex64, mode="r")
+def _load(path: str, dtype) -> np.ndarray:
+    """Memory-map a dump file without copying it into RAM (captures can be
+    gigabytes); callers convert lazily per row batch."""
+    return np.memmap(path, dtype=dtype, mode="r")
+
+
+def _fit_rows(data: np.ndarray, fit: int) -> np.ndarray:
     if data.size % fit != 0:
         data = data[: -(data.size % fit)]
     return np.asarray(data).reshape(-1, fit)
+
+
+def read_raw_iq(path: str, fit: int) -> np.ndarray:
+    _, name, ext = file_info(path)
+    if ext == "cs8" or name.endswith("cs8") or "_cs8" in name:
+        data = _load(path, np.int8).astype(np.complex64) / 127.5
+    elif ext == "cu8" or name.endswith("cu8"):
+        raw = _load(path, np.uint8).astype(np.float32)
+        data = ((raw - 127.5) / 127.5).astype(np.complex64)
+    else:
+        data = _load(path, np.complex64)
+    return _fit_rows(data, fit)
 
 
 def read_power(path: str, fit: int) -> np.ndarray:
     _, name, ext = file_info(path)
     if ext == "s8" or name.endswith("s8"):
-        data = np.memmap(path, dtype=np.int8, mode="r").astype(np.float32)
+        data = _load(path, np.int8).astype(np.float32)
     elif ext == "u8" or name.endswith("u8"):
-        data = np.memmap(path, dtype=np.uint8, mode="r").astype(np.float32)
+        data = _load(path, np.uint8).astype(np.float32)
     else:
-        data = np.memmap(path, dtype=np.float32, mode="r")
-    if data.size % fit != 0:
-        data = data[: -(data.size % fit)]
-    return np.asarray(data).reshape(-1, fit)
+        data = _load(path, np.float32)
+    return _fit_rows(data, fit)
 
 
 def psd_rows(iq_rows: np.ndarray, sample_rate: int) -> np.ndarray:
@@ -88,8 +96,8 @@ def spectrogram(path: str, fft: int, power: bool) -> None:
     frequency, sample_rate = parse_name_fields(path)
     data = read_power(path, fft) if power else psd_rows(read_raw_iq(path, fft), sample_rate or 1)
     print(
-        "psd, file: %s.%s, frequency: %s, sample_rate: %d, fft: %d, length: %4d"
-        % (name, ext, format_frequency(frequency), sample_rate, fft, data.shape[0])
+        f"rendering {name}.{ext}: {data.shape[0]} rows of fft {fft} "
+        f"@ {format_frequency(frequency)} ({sample_rate} sps)"
     )
     norm = plt.Normalize(vmin=float(data.min()), vmax=float(data.max()))
     image = plt.cm.jet(norm(data))
@@ -101,7 +109,7 @@ def gqrx(path: str) -> None:
     if ext == "raw":
         return
     data = read_raw_iq(path, 1).ravel()
-    print("gqrx, file: %s.%s, length: %d" % (name, ext, data.size))
+    print(f"gqrx export {name}.{ext}: {data.size} samples")
     with open(os.path.join(d, name + ".raw"), "wb") as f:
         np.save(f, data)
 
