@@ -594,15 +594,17 @@ def compact_detection(
             sel, jnp.asarray(start_level, jnp.float32), top_k, K_SEP, submargin
         )
     else:
-        if fft % 1024 == 0 and fft // 1024 >= 2:
-            # exact top-k as k single-bin-zone patch winners in ONE pass:
-            # the same per-winner segment-table patching as the margin
-            # sweep with submargin=0 (identical value-desc
-            # first-occurrence order; median 58.5 ms vs 65.3 for the
-            # pooled-sort form on v5e at 32 bands x F=45)
-            top_val, top_idx = _margin_separated_top(sel, top_k, 0, per_pass=top_k)
-        else:
-            top_val, top_idx = _pooled_top_k(sel, top_k)
+        # top-k stays the pooled-sort form. The patch alternative (k
+        # single-bin-zone winners via _margin_separated_top(sel, k, 0,
+        # per_pass=k) -- identical output order, proven on-device) measured
+        # 58.5 vs 65.3 ms isolated at the 1440-row headline geometry but
+        # LOST 18% end to end at the wideband app geometry (160 rows): 64
+        # sequential winner steps amortize per-step latency only over
+        # enough rows, and compact_detection cannot see the vmapped band
+        # count at trace time. Geometry-dependent negative result
+        # (BENCH.md); the margin sweep's 16 winners stay single-pass,
+        # which wins at every measured geometry.
+        top_val, top_idx = _pooled_top_k(sel, top_k)
         sep_val, sep_idx = _margin_separated_top(sel, K_SEP, submargin)
         cand_count = jnp.sum(
             sel >= jnp.asarray(start_level, sel.dtype), axis=-1
