@@ -158,14 +158,20 @@ def _chain_snr(rate: int, bandwidth: int, shift: int, seed: int = 0):
 
 
 @pytest.mark.parametrize(
-    "rate,shift",
-    [(2048000, 250000), (20480000, -3517000)],
+    "rate,bandwidth,shift",
+    [
+        (2048000, 16000, 250000),
+        (20480000, 16000, -3517000),
+        # 1.024 Msps -> 20 kHz runs (1,16),(5,16): exercises an INTERP
+        # (polyphase upsampling) stage end to end, not just decimators
+        (1024000, 20000, 120000),
+    ],
 )
-def test_end_to_end_recording_snr(rate, shift):
+def test_end_to_end_recording_snr(rate, bandwidth, shift):
     """The whole recording chain (NCO shift + cascaded GR-design polyphase
     stages + int8 x127 wire format) reproduces a band-limited multitone
     within the reference's own wire quantization floor: per-tone gain flat
     to < 0.5 dB, residual SNR >= 40 dB (int8 full-scale floor ~46 dB)."""
-    gain_err_db, snr_db = _chain_snr(rate, 16000, shift)
+    gain_err_db, snr_db = _chain_snr(rate, bandwidth, shift)
     assert gain_err_db < 0.5, f"passband gain error {gain_err_db:.2f} dB"
     assert snr_db >= 40.0, f"end-to-end SNR {snr_db:.1f} dB"
