@@ -139,6 +139,14 @@ def run(config_file: str) -> int:
 
         logger.info(LABEL, "started")
         while _is_running and not reload_requested[0]:
+            if any(getattr(s, "failed", False) for s in scanners):
+                # a scanner thread died on a fatal source/pipeline error.
+                # The reference exit(1)s on a stream error and lets the
+                # container supervisor restart it (sdr_source.cpp:38-41);
+                # polling forever with a dead scanner would scan nothing.
+                logger.error(LABEL, "scanner failed fatally; stopping")
+                _is_running = False
+                break
             time.sleep(0.1)
 
         for scanner in scanners:

@@ -42,6 +42,9 @@ class Scanner:
     ):
         self._config = config
         self._tunables = config.tunables
+        # set when the worker thread dies on a fatal source/pipeline error;
+        # runtime/main.py exits on it (reference exit(1) parity)
+        self.failed = False
         self._source = make_source(device_spec, loop=loop_replay, tunables=config.tunables)
         # wire clock: payload time = source epoch + stream-relative ms
         # (utils.cpp:14 getTime is epoch ms; replay sources report epoch 0 so
@@ -210,9 +213,18 @@ class Scanner:
 
         def worker():
             logger.info(LABEL, "thread started")
-            while self._running:
-                if not self.step():
-                    break
+            try:
+                while self._running:
+                    if not self.step():
+                        break
+            except Exception as exc:
+                # fatal source/pipeline error: surface it LOUDLY and mark
+                # the scanner failed so the lifecycle can exit. The
+                # reference exit(1)s on a stream error and relies on the
+                # container supervisor to restart (sdr_source.cpp:38-41);
+                # a silently-dead thread would scan nothing forever.
+                self.failed = True
+                logger.error(LABEL, "scanner thread failed: {}", exc)
             logger.info(LABEL, "thread stopped")
 
         self._thread = threading.Thread(target=worker, name="scanner", daemon=True)

@@ -67,6 +67,8 @@ class WidebandScanner:
             raise ValueError(f"sample_rate {rate} not divisible by channels {b}")
 
         self._config = config
+        # set when the worker thread dies on a fatal error; main exits on it
+        self.failed = False
         self._source = make_source(device_spec, loop=loop_replay, tunables=config.tunables)
         self._oversample = 2 if config.tunables.channelizer_oversample == 2 else 1
         self._plan = plan_channelizer(b, oversample=self._oversample)
@@ -493,9 +495,15 @@ class WidebandScanner:
 
         def worker():
             logger.info(LABEL, "thread started")
-            while self._running:
-                if not self.step():
-                    break
+            try:
+                while self._running:
+                    if not self.step():
+                        break
+            except Exception as exc:
+                # fatal error: mark failed so main exits (reference exit(1)
+                # parity, sdr_source.cpp:38-41); never die silently
+                self.failed = True
+                logger.error(LABEL, "wideband scanner thread failed: {}", exc)
             logger.info(LABEL, "thread stopped")
 
         self._thread = threading.Thread(target=worker, name="wideband", daemon=True)

@@ -152,3 +152,67 @@ def test_main_joins_distributed_runtime_once(tmp_path, monkeypatch):
     threading.Thread(target=stop_soon).start()
     assert main_mod.run(str(cfg_path)) == 0
     assert calls == [1], calls
+
+
+def test_main_exits_on_fatal_scanner_failure(tmp_path, monkeypatch):
+    """A scanner thread dying on a fatal error must stop the app (reference
+    exit(1) on stream error, sdr_source.cpp:38-41) instead of polling
+    forever with a dead scanner."""
+    capture = tmp_path / "cap.cf32"
+    _write_capture(capture)
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps(_config_json(capture)))
+
+    class FailingScanner:
+        def __init__(self, *a, **k):
+            self.failed = False
+
+        def start(self):
+            def die():
+                time.sleep(0.2)
+                self.failed = True
+
+            threading.Thread(target=die, daemon=True).start()
+
+        def stop(self):
+            pass
+
+    monkeypatch.setattr(main_mod, "Scanner", FailingScanner)
+    monkeypatch.setattr(main_mod, "make_mqtt", lambda cfg: NullMqtt())
+    main_mod._is_running = True
+    t = threading.Thread(target=main_mod.run, args=(str(cfg_path),))
+    t.start()
+    t.join(timeout=10)
+    assert not t.is_alive(), "main.run did not exit on scanner failure"
+    assert main_mod._is_running is False
+
+
+def test_scanner_thread_failure_sets_flag(tmp_path, monkeypatch):
+    """A hard mid-stream readStream error surfaces as Scanner.failed with a
+    logged error, not a silent dead thread."""
+    import sys
+
+    from tests.fake_soapy import make_fake_soapy
+
+    fake = make_fake_soapy(
+        total_samples=RATE * 30, short_read_max=8192, inject_results={6: -7}
+    )
+    monkeypatch.setitem(sys.modules, "SoapySDR", fake)
+
+    from rtl_sdr_scanner_tpu.runtime.config import Config
+    from rtl_sdr_scanner_tpu.runtime.scanner import Scanner
+
+    raw = _config_json("ignored")
+    del raw["devices"][0]["file"]
+    del raw["devices"][0]["file_format"]
+    raw["devices"][0]["driver"] = "rtlsdr"
+    cfg_path = tmp_path / "c.json"
+    cfg_path.write_text(json.dumps(raw))
+    cfg = Config.load_from_file(str(cfg_path), scan_hardware=False)
+    s = Scanner(cfg, cfg.devices[0], NullMqtt(), recorders_count=1)
+    s.start()
+    deadline = time.time() + 20
+    while not s.failed and time.time() < deadline:
+        time.sleep(0.05)
+    assert s.failed, "scanner did not surface the stream failure"
+    s.stop()
