@@ -197,3 +197,57 @@ def test_single_band_scanner_final_spectro_flush(tmp_path):
     assert not any(t.endswith("/spectrogram") for t, _ in mqtt.published)
     scanner.stop()
     assert any(t.endswith("/spectrogram") for t, _ in mqtt.published)
+
+
+def test_wideband_thread_failure_sets_flag(tmp_path, monkeypatch):
+    """A fatal error inside the wideband worker surfaces as .failed (main
+    exits on it; reference exit(1) parity) instead of a silent dead thread."""
+    import time
+
+    import numpy as np
+
+    from rtl_sdr_scanner_tpu.runtime.config import Config, default_config_json
+    from rtl_sdr_scanner_tpu.runtime.mqtt_client import NullMqtt
+    from rtl_sdr_scanner_tpu.runtime.wideband import WidebandScanner
+
+    rate, b = 8 * 64000, 8
+    n = int(rate * 1.0)
+    rng = np.random.default_rng(0)
+    iq = 0.02 * (rng.standard_normal(n) + 1j * rng.standard_normal(n))
+    cap = tmp_path / "w.cf32"
+    iq.astype(np.complex64).view(np.float32).tofile(cap)
+
+    raw = default_config_json()
+    raw["recording"] = {
+        "max_noise_time_ms": 1000,
+        "min_sample_rate": 16000,
+        "min_time_ms": 1000,
+        "step": 2500,
+    }
+    raw["devices"] = [
+        {
+            "enabled": True, "serial": "wfail", "driver": "replay",
+            "sample_rate": rate, "start_recording_level": 8,
+            "stop_recording_level": 5, "gains": [],
+            "ranges": [{"start": 145_000_000 - rate // 2,
+                        "stop": 145_000_000 + rate // 2}],
+            "file": str(cap), "file_format": "cf32", "channels": b,
+        }
+    ]
+    p = tmp_path / "c.json"
+    import json
+
+    p.write_text(json.dumps(raw))
+    cfg = Config.load_from_file(str(p), scan_hardware=False)
+    s = WidebandScanner(cfg, cfg.devices[0], NullMqtt(), recorders_count=b)
+
+    def boom():
+        raise RuntimeError("injected fatal pipeline error")
+
+    s.step = boom
+    s.start()
+    deadline = time.time() + 10
+    while not s.failed and time.time() < deadline:
+        time.sleep(0.05)
+    assert s.failed
+    s.stop()
