@@ -169,7 +169,9 @@ def main() -> int:
         return jnp.sum(v) + jnp.sum(i)
 
     def sub_topk_patch(r, h):
-        # production top-64: k single-bin-zone patch winners, one pass
+        # ALTERNATIVE top-64 (k single-bin-zone patch winners, one pass):
+        # reverted from production -- row-count-dependent, loses at small
+        # row counts (BENCH.md round-4); kept probed for future A/Bs
         v, i = jax.vmap(lambda x: _margin_separated_top(x, 64, 0, per_pass=64))(r)
         return jnp.sum(v) + jnp.sum(i)
 
@@ -215,7 +217,7 @@ def main() -> int:
 
     for name, fn in {
         "sub: two-stage top-64": sub_topk,
-        "sub: patch top-64 (production)": sub_topk_patch,
+        "sub: patch top-64 (reverted alt; see BENCH.md)": sub_topk_patch,
         "sub: int8-code vote (production)": sub_vote_code,
         "sub: margin-separated (16 sweeps)": sub_margin,
         "sub: sliding_argmax hist": sub_slidemax,
