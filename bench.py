@@ -307,6 +307,13 @@ def main() -> int:
     )
     args = parser.parse_args()
 
+    band_list = [int(x) for x in args.bands.split(",")] if args.bands else []
+    if any(b <= 0 for b in band_list):
+        # '--bands 0' used to be the run-the-default-sweep sentinel when the
+        # flag was an int; as a comma list it would bench zero bands
+        # (round-4 advisor). Omit the flag for the default sweep.
+        parser.error("--bands entries must be positive; omit for the default sweep")
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -314,7 +321,7 @@ def main() -> int:
     print(f"device: {jax.devices()[0].device_kind}", file=sys.stderr)
 
     if args.wideband:
-        nb = int(args.bands.split(",")[0]) if args.bands else 8  # 8 bands fits the wideband f32 ring in HBM
+        nb = band_list[0] if band_list else 8  # 8 bands fits the wideband f32 ring in HBM
         rates = bench_wideband(nb, args.seconds, args.frames)
         rate, spread = _median_spread(rates)
         print(
@@ -340,9 +347,7 @@ def main() -> int:
     # vote row-gather landed (transposed hist tables add ~52 MB/band), 64
     # was already below 32/48 in round 1. Keep the sweep tight so driver
     # runs stay fast.
-    band_counts = (
-        [int(x) for x in args.bands.split(",")] if args.bands else [32, 40]
-    )
+    band_counts = band_list if band_list else [32, 40]
     best = 0.0
     best_bands = 1
     best_spread = 0.0

@@ -273,7 +273,6 @@ def _sliding_span_tables(rows: jnp.ndarray, half: int, max_levels: int):
         j_max += 1
     span = 1 << j_max  # span actually built, <= largest pow2 <= w
     assert span <= 128, "int8 offset encoding bounds the window span at 128"
-    assert w <= 128, "int8 window-relative offsets bound the window at 128"
     neg = -jnp.inf
     # padded coords: real bin b at position b + half; lookups reach
     # (n-1) + (w - span) + span - 1 = n + w - 2
@@ -353,6 +352,12 @@ def sliding_argmax_code(
     points at a real bin).
     """
     *lead, n = rows.shape
+    w = 2 * half + 1
+    # codes are window-relative offsets 0..w-1 in ONE int8; wider windows
+    # (group_size > 127, e.g. min_sample_rate 64 kHz at step 156.25 Hz)
+    # must use the sliding_argmax pair-table form instead (compact_detection
+    # falls back automatically)
+    assert w <= 128, "int8 window-relative codes bound the window at 128"
     v, off8, span, w = _sliding_span_tables(rows, half, max_levels)
     starts = list(range(0, w - span, span)) + [w - span]
     bv = v[..., :n]
@@ -627,11 +632,20 @@ def compact_detection(
     if bf16:
         hist = hist.astype(jnp.bfloat16)
     half_depth = prev_tail.shape[0] + 1
-    code_tbl = sliding_argmax_code(hist, half, start_level)  # [H-1+F, fft] i8
-    codes = _vote_windows_code(code_tbl, cand_idx, half_depth)  # [F, H, K] i8
-    votes_valid = codes >= 0
-    # absolute vote index = window start + offset (exact: padding never wins)
-    idxs = (cand_idx[:, None, :] - half) + codes.astype(jnp.int32)
+    if 2 * half + 1 <= 128:
+        code_tbl = sliding_argmax_code(hist, half, start_level)  # [H-1+F, fft] i8
+        codes = _vote_windows_code(code_tbl, cand_idx, half_depth)  # [F, H, K] i8
+        votes_valid = codes >= 0
+        # absolute vote index = window start + offset (padding never wins)
+        idxs = (cand_idx[:, None, :] - half) + codes.astype(jnp.int32)
+    else:
+        # wide-window fallback (group_size > 127: e.g. min_sample_rate 64 kHz
+        # at step 156.25 Hz -> group 410): int8 codes cannot encode the
+        # window offset, so the vote uses the f32+i32 pair tables
+        # (round-3 production form; round-4 advisor high finding)
+        hist_val, hist_idx = sliding_argmax(hist, half)
+        vote_val, idxs = _vote_windows(hist_val, hist_idx, cand_idx, half_depth)
+        votes_valid = vote_val >= jnp.asarray(start_level, vote_val.dtype)
     cand_best = _mode_median_ties_unrolled(idxs, votes_valid, cand_idx)  # [F, K]
 
     key_val, key_idx = jax.vmap(lambda row: _windowed_argmax(row, keys, half, fft))(avg)

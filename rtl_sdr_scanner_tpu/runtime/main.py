@@ -47,6 +47,7 @@ def run(config_file: str) -> int:
     logger.info(LABEL, "starting")
     instance_id = generate_random_hash()
 
+    rc = 0
     distributed_joined = False
     while _is_running:
         reload_requested = [False]
@@ -144,7 +145,10 @@ def run(config_file: str) -> int:
                 # The reference exit(1)s on a stream error and lets the
                 # container supervisor restart it (sdr_source.cpp:38-41);
                 # polling forever with a dead scanner would scan nothing.
+                # rc = 1 so a container supervisor keyed on the exit code
+                # actually restarts us (round-4 advisor medium finding).
                 logger.error(LABEL, "scanner failed fatally; stopping")
+                rc = 1
                 _is_running = False
                 break
             time.sleep(0.1)
@@ -154,7 +158,7 @@ def run(config_file: str) -> int:
         mqtt.stop()
 
     logger.info(LABEL, "stopped")
-    return 0
+    return rc
 
 
 def main() -> int:

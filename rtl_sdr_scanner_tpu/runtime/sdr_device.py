@@ -297,6 +297,13 @@ class SdrDevice:
     def last_notification(self) -> List[FrequencyFlush]:
         return self._last_notification
 
+    def wants_raw_iq(self) -> bool:
+        """True when the debug raw-IQ file sink is live and recording, i.e.
+        callers that can supply a f32 IQ stream (the wideband mesh path)
+        should keep feeding one (round-4 advisor: public accessor instead of
+        reaching into _raw_iq_sink)."""
+        return self._raw_iq_sink is not None and self._raw_iq_sink.recording
+
     # -- retune ------------------------------------------------------------
 
     def set_frequency_range(self, frequency_range: Tuple[int, int], now_ms: int) -> None:

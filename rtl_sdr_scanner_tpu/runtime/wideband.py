@@ -358,9 +358,7 @@ class WidebandScanner:
             # (each channels[ch] index is a device dispatch) -- EXCEPT when
             # the debug raw-IQ sink is live, which consumes iq_dev directly
             # (round-3 advisor: the sink silently produced empty captures)
-            feed_sink = (
-                session._raw_iq_sink is not None and session._raw_iq_sink.recording
-            )
+            feed_sink = session.wants_raw_iq()
             session.finish_block(
                 {
                     "outs": _PackedOuts(packed[ch]),

@@ -100,10 +100,10 @@ def test_mode_unrolled_matches_reference_form():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def _make_tracker(cfg):
+def _make_tracker(cfg, group=GROUP):
     return TransmissionTracker(
         fft_size=cfg.fft_size,
-        group_size=GROUP,
+        group_size=group,
         start_level=8.0,
         stop_level=5.0,
         recording_min_time_ms=500,
@@ -202,14 +202,14 @@ def test_compact_matches_full_pipeline():
     assert len(diff) == 0, diff[:5]
 
 
-def _run_both(iq, cfg):
+def _run_both(iq, cfg, group_size=GROUP):
     group = cfg.fft_size * cfg.decimator_factor
     n_blocks = len(iq) // cfg.block_samples
     frame_ms = cfg.frame_interval_ms
     full_step = make_scan_step(cfg)
-    compact_step = make_compact_scan_step(cfg, GROUP, TOP_K)
-    t_full = _make_tracker(cfg)
-    t_cmp = _make_tracker(cfg)
+    compact_step = make_compact_scan_step(cfg, group_size, TOP_K)
+    t_full = _make_tracker(cfg, group_size)
+    t_cmp = _make_tracker(cfg, group_size)
     s_full = init_scan_state(cfg)
     s_cmp = init_scan_state(cfg)
     sp_acc = init_spectro_acc(cfg)
@@ -289,6 +289,23 @@ def test_compact_matches_full_randomized(seed):
 
     covered(act_full, act_cmp)
     covered(act_cmp, act_full)
+
+
+def test_compact_wide_group_fallback():
+    """group_size > 128 (wide recording bandwidth in bins, e.g.
+    min_sample_rate 64 kHz at step 156.25 Hz -> group 410) cannot encode the
+    history-vote window offset in one int8 code; compact_detection must fall
+    back to the f32+i32 pair tables (round-4 advisor HIGH finding: this
+    crashed with an AssertionError at trace time) and still match the
+    full-row reference frame-exactly on an isolated signal."""
+    rng = np.random.default_rng(13)
+    cfg = ScanConfig.create(RATE, frames_per_block=10)
+    iq = _make_iq(rng)
+    full_log, cmp_log = _run_both(iq, cfg, group_size=192)
+    assert full_log == cmp_log, [
+        (a, b) for a, b in zip(full_log, cmp_log) if a != b
+    ][:5]
+    assert any(shifts for _, shifts in full_log)  # scene not trivially empty
 
 
 @pytest.mark.parametrize("seed", [5, 23])

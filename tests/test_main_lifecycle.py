@@ -180,11 +180,17 @@ def test_main_exits_on_fatal_scanner_failure(tmp_path, monkeypatch):
     monkeypatch.setattr(main_mod, "Scanner", FailingScanner)
     monkeypatch.setattr(main_mod, "make_mqtt", lambda cfg: NullMqtt())
     main_mod._is_running = True
-    t = threading.Thread(target=main_mod.run, args=(str(cfg_path),))
+    result = {}
+    t = threading.Thread(
+        target=lambda: result.setdefault("rc", main_mod.run(str(cfg_path)))
+    )
     t.start()
     t.join(timeout=10)
     assert not t.is_alive(), "main.run did not exit on scanner failure"
     assert main_mod._is_running is False
+    # exit code 1 so a container supervisor keyed on the code restarts us
+    # (reference exit(1), sdr_source.cpp:38-41; round-4 advisor medium)
+    assert result["rc"] == 1
 
 
 def test_scanner_thread_failure_sets_flag(tmp_path, monkeypatch):
