@@ -149,16 +149,23 @@ def test_timed_windows_and_median_spread():
         return f"out{block_no}"
 
     rates = bench._timed_windows(step, seconds=0.0, repeats=3)
-    assert len(rates) == 3
+    # adaptive windows (round-4 verdict weak #4): >= repeats, and a noisy
+    # leg (zero-second windows time wall-clock jitter) keeps sampling up to
+    # the MAX_REPEATS ceiling
+    assert 3 <= len(rates) <= bench.MAX_REPEATS
     # each window runs >= 4 blocks then drains (block_no=None) its pending
     drains = [c for c in calls if c[0] is None]
-    assert len(drains) == 3
+    assert len(drains) == len(rates)
     assert all(p is not None for _, p in drains)
     # block numbering is continuous across windows
     nums = [b for b, _ in calls if b is not None]
-    assert nums == list(range(len(nums))) and len(nums) >= 12
+    assert nums == list(range(len(nums))) and len(nums) >= 4 * len(rates)
 
     med, spread = bench._median_spread([10.0, 20.0, 40.0])
     assert med == 20.0 and spread == 1.5
     med, spread = bench._median_spread([10.0, 30.0])
     assert med == 20.0 and spread == 1.0
+    # > 3 windows: median over all, spread over the central 3 (one outlier
+    # must not pin the spread once clean windows dominate)
+    med, spread = bench._median_spread([10.0, 19.0, 20.0, 21.0, 40.0])
+    assert med == 20.0 and spread == (21.0 - 19.0) / 20.0
