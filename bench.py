@@ -179,7 +179,9 @@ def bench_bands(
     return [r * block * n_bands for r in rates]
 
 
-def bench_wideband(n_bands: int, seconds: float, frames: int = FRAMES):
+def bench_wideband(
+    n_bands: int, seconds: float, frames: int = FRAMES, fused: bool = True
+):
     """The APPLICATION's mesh-mode device path, measured end to end on chip:
     ONE sharded dispatch channelizing the wideband block in-mesh + all bands'
     compact scan (make_sharded_wideband_step), then ONE banded K*B-slot DDC
@@ -201,6 +203,7 @@ def bench_wideband(n_bands: int, seconds: float, frames: int = FRAMES):
         init_banded_ddc_state,
         init_banded_state,
         make_sharded_banded_ddc,
+        make_sharded_wideband_fused_step,
         make_sharded_wideband_step,
     )
 
@@ -212,8 +215,18 @@ def bench_wideband(n_bands: int, seconds: float, frames: int = FRAMES):
     plan = plan_channelizer(n_bands)
     mesh = make_mesh(n_bands=1, n_time=1)  # one real chip; tests cover 8-dev
 
-    wide_step = make_sharded_wideband_step(cfg, group_size, 64, mesh, plan, 1, n_bands)
-    ddc_step = make_sharded_banded_ddc(ddc_cfg, mesh, n_bands)
+    if fused:
+        # ONE dispatch per block: channelize + scan + banded DDC
+        # (make_sharded_wideband_fused_step; --wideband-split measures the
+        # round-4 two-dispatch form)
+        fused_step = make_sharded_wideband_fused_step(
+            cfg, ddc_cfg, group_size, 64, mesh, plan, 1, n_bands
+        )
+    else:
+        wide_step = make_sharded_wideband_step(
+            cfg, group_size, 64, mesh, plan, 1, n_bands
+        )
+        ddc_step = make_sharded_banded_ddc(ddc_cfg, mesh, n_bands)
 
     rng = np.random.default_rng(0)
     n_wide = n_bands * block
@@ -248,11 +261,21 @@ def bench_wideband(n_bands: int, seconds: float, frames: int = FRAMES):
 
     def dispatch(b, chan_state, scan_state, spectro_acc, ddc_state):
         now = ((b * frames + 1 + np.arange(frames)) * frame_ms).astype(np.int32)
-        chan_state, scan_state, spectro_acc, packed, channels = wide_step(
-            chan_state, scan_state, spectro_acc, ring[b % RING],
-            jnp.asarray(now), keys, valid, jnp.float32(8.0), jnp.float32(1.0),
-        )
-        ddc_state, rec = ddc_step(ddc_state, channels, tables, keep_mask)
+        if fused:
+            (
+                chan_state, scan_state, spectro_acc, ddc_state,
+                packed, rec, _channels,
+            ) = fused_step(
+                chan_state, scan_state, spectro_acc, ddc_state, ring[b % RING],
+                jnp.asarray(now), keys, valid, jnp.float32(8.0),
+                jnp.float32(1.0), tables, keep_mask,
+            )
+        else:
+            chan_state, scan_state, spectro_acc, packed, channels = wide_step(
+                chan_state, scan_state, spectro_acc, ring[b % RING],
+                jnp.asarray(now), keys, valid, jnp.float32(8.0), jnp.float32(1.0),
+            )
+            ddc_state, rec = ddc_step(ddc_state, channels, tables, keep_mask)
         return chan_state, scan_state, spectro_acc, ddc_state, packed, rec
 
     state = [chan_state, scan_state, spectro_acc, ddc_state]
@@ -300,6 +323,12 @@ def main() -> int:
         help="measure the app mesh-mode path (in-mesh channelizer + banded DDC)",
     )
     parser.add_argument(
+        "--wideband-split",
+        action="store_true",
+        help="with --wideband: the round-4 TWO-dispatch form (separate scan "
+        "and banded-DDC programs) instead of the fused single dispatch",
+    )
+    parser.add_argument(
         "--seconds",
         type=float,
         default=2.5,
@@ -343,7 +372,9 @@ def main() -> int:
 
     if args.wideband:
         nb = band_list[0] if band_list else 8  # 8 bands fits the wideband f32 ring in HBM
-        rates = bench_wideband(nb, args.seconds, args.frames)
+        rates = bench_wideband(
+            nb, args.seconds, args.frames, fused=not args.wideband_split
+        )
         rate, spread = _median_spread(rates)
         print(
             f"wideband app path, {nb} bands: {rate/1e6:.1f} Msamples/s "

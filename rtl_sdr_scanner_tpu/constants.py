@@ -104,6 +104,17 @@ class Tunables:
     # the north-star replacement for the reference's sequential 500 ms
     # band hops (scanner.cpp:46-60): one pod watches every band at once.
     mesh_bands: int = 0
+    # wideband mesh mode: fuse the banded DDC into the channelize+scan
+    # program so every block is ONE device dispatch instead of two
+    # (parallel/sharded_scan.make_sharded_wideband_fused_step). Recording
+    # slot reconcile then applies from the NEXT block -- the reference's own
+    # timing (a GR recorder chain unblocks only after the detector's
+    # notification, recorder.cpp:58-73), whereas the split two-dispatch
+    # default records the triggering block itself (beyond-reference) and
+    # stays byte-identical to the serial path
+    # (tests/test_mesh_banded_ddc.py). Turn on for deployments where
+    # per-dispatch latency matters more than the extra leading block.
+    wideband_fused_dispatch: bool = False
     # wideband mode: 2 = split the front-end through a 2x-OVERSAMPLED
     # polyphase bank (each sub-band stream at 2R/B with a flat passband over
     # its whole R/B core), so transmissions straddling sub-band boundaries

@@ -132,6 +132,14 @@ class CompactOutputs(NamedTuple):
 
 K_SEP = 16  # margin-separated candidate slots
 
+# History-vote implementation: "gather" = candidate-window block gathers
+# (_vote_windows_gather, computes only the consumed cells), "code" = the
+# round-4 int8-code sliding table (sliding_argmax_code + _vote_windows_code;
+# falls back to the f32+i32 pair tables for windows wider than 128 bins).
+# Trace-time constant: flip before building a jitted step to A/B
+# (scripts/profile_detect.py).
+VOTE_FORM = "code"
+
 
 # margin-sweep winners extracted per full-row pass. K_SEP winners in ONE
 # pass measured best on v5e (32.7 / 47.8 / 40.3 / 62.3 ms median for
@@ -477,6 +485,71 @@ def _vote_windows_code(
     return picked.transpose(0, 2, 1)  # [F, H, K]: K minor for the mode kernel
 
 
+def _vote_windows_gather(
+    hist: jnp.ndarray,  # [R, fft] history rows (f32 or bf16), R = H-1+F
+    cand_idx: jnp.ndarray,  # [F, K] i32 candidate bins
+    half: int,
+    level: jnp.ndarray,
+    half_depth: int,
+):
+    """History vote via CANDIDATE-WINDOW block gathers instead of the full
+    sliding-argmax table. Returns (idxs [F, H, K] i32, valid [F, H, K] bool).
+
+    The vote consumes (window max >= start_level?, first-argmax) for each
+    (candidate, history row) pair -- F*K*H ~ 40k cells -- yet
+    sliding_argmax_code builds them for EVERY center: R * fft ~ 7M cells,
+    through 4 doubling levels + a 7-span combine that are lane-rotation
+    bound (~30 ms net at 32 bands x F=45, the largest remaining detection
+    line after round 4). This form computes only what is consumed:
+
+    1. pad the history with half -inf bins per side (edge windows shrink
+       like the host get_max_index; padding never wins) and transpose to
+       [fft + 2*half, R] -- bin-major, so one candidate's window is 103
+       CONSECUTIVE rows;
+    2. ONE batched dynamic-slice gather of [w, R] blocks at the F*K
+       candidate starts (contiguous ~11 KB slices, the fast gather class
+       -- same lesson as _vote_windows' row gather, one level bigger);
+    3. max + first-occurrence argmax over the window axis for all R rows
+       (cheap VPU reduce over ~W x that of the consumed cells), then the
+       per-frame H-of-R row selection exactly like _vote_windows_code.
+
+    Bit-exact vs the table form: values are untouched row entries, argmax
+    over the window axis keeps the first-occurrence rule (smaller w =
+    smaller absolute index), and validity compares the same dtypes against
+    the same level. Unlike the int8-code form it has NO w <= 128 bound, so
+    it also serves wide group_size configs. Negative-space note: the
+    round-2 vote used a flat per-candidate minor-axis element gather and
+    lost 3x to the table forms -- the difference here is the gather moves
+    CONTIGUOUS [w, R] blocks, not scattered scalars.
+    """
+    f, k = cand_idx.shape
+    r_rows = hist.shape[0]
+    n = hist.shape[-1]
+    w = 2 * half + 1
+    neg = -jnp.inf
+    hist_t = jnp.pad(
+        hist, [(0, 0), (half, half)], constant_values=neg
+    ).T  # [n + 2*half, R], bin-major
+    starts = cand_idx.reshape(-1)  # window start in padded coords = cand bin
+
+    g = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(
+            hist_t, (s, jnp.zeros((), s.dtype)), (w, r_rows)
+        )
+    )(starts)  # [F*K, w, R]
+    vmax = jnp.max(g, axis=1).reshape(f, k, r_rows)  # [F, K, R]
+    varg = jnp.argmax(g, axis=1).astype(jnp.int32).reshape(f, k, r_rows)
+
+    sel = jnp.asarray(_vote_row_select(f, half_depth))  # [F, 1, H]
+    sel_b = jnp.broadcast_to(sel, (f, k, half_depth))
+    pick_max = jnp.take_along_axis(vmax, sel_b, axis=2)  # [F, K, H]
+    pick_arg = jnp.take_along_axis(varg, sel_b, axis=2)
+    valid = pick_max >= jnp.asarray(level, pick_max.dtype)
+    idxs = cand_idx[:, :, None] - half + pick_arg
+    # [F, H, K]: K minor for the unrolled mode kernel
+    return idxs.transpose(0, 2, 1), valid.transpose(0, 2, 1)
+
+
 def _mode_median_ties(votes: jnp.ndarray, valid: jnp.ndarray, fallback: jnp.ndarray):
     """C++ mostFrequentValue over the valid votes of each row.
 
@@ -632,7 +705,12 @@ def compact_detection(
     if bf16:
         hist = hist.astype(jnp.bfloat16)
     half_depth = prev_tail.shape[0] + 1
-    if 2 * half + 1 <= 128:
+    if VOTE_FORM == "gather":
+        # candidate-window block-gather vote (no sliding table; any width)
+        idxs, votes_valid = _vote_windows_gather(
+            hist, cand_idx, half, start_level, half_depth
+        )
+    elif 2 * half + 1 <= 128:
         code_tbl = sliding_argmax_code(hist, half, start_level)  # [H-1+F, fft] i8
         codes = _vote_windows_code(code_tbl, cand_idx, half_depth)  # [F, H, K] i8
         votes_valid = codes >= 0

@@ -297,6 +297,19 @@ class SdrDevice:
     def last_notification(self) -> List[FrequencyFlush]:
         return self._last_notification
 
+    def recording_slot_indices(self) -> set:
+        """Indices of slots currently recording (fused-dispatch mode snapshots
+        these at dispatch time to gate ingest_ddc_out's only_slots)."""
+        return {rec.index for rec in self._recorders if rec.is_recording}
+
+    def clear_slot_start_trim(self, slots) -> None:
+        """Void the in-block start trim for `slots` (fused-dispatch mode:
+        a slot started during this block's host processing records from the
+        NEXT block, which is wholly post-start)."""
+        for rec in self._recorders:
+            if rec.index in slots:
+                rec.start_fraction = 0.0
+
     def wants_raw_iq(self) -> bool:
         """True when the debug raw-IQ file sink is live and recording, i.e.
         callers that can supply a f32 IQ stream (the wideband mesh path)
@@ -708,11 +721,20 @@ class SdrDevice:
         self._ddc_state, out = self._ddc_step(self._ddc_state, iq_dev, self._ddc_tables)
         self.ingest_ddc_out(np.asarray(out), block_start_ms)
 
-    def ingest_ddc_out(self, out_np: np.ndarray, block_start_ms: int) -> None:
+    def ingest_ddc_out(
+        self, out_np: np.ndarray, block_start_ms: int, only_slots=None
+    ) -> None:
         """Distribute one block's [K, out, 2] int8 DDC rows to the recording
         slots' pending buffers. Factored from _run_ddc so an owner running the
         DDC banded over all bands (WidebandScanner mesh mode) can feed this
-        session its band's rows without a per-band device dispatch."""
+        session its band's rows without a per-band device dispatch.
+
+        only_slots (fused-dispatch mode): slot indices whose recording was
+        active when this block was DISPATCHED. A slot started during this
+        block's host processing has no valid output in this block (its NCO
+        table applies from the next dispatch); it is skipped and its
+        in-block start trim cleared -- the next block is wholly
+        post-start."""
         # pending entries are RECORDER_FLUSH_INTERVAL-sized chunks so the MQTT
         # stream keeps the reference's ~100 ms payload cadence (recorder.cpp:35
         # stream_to_vector of flush-interval length feeding the Buffer)
@@ -721,6 +743,9 @@ class SdrDevice:
         )
         for rec in self._recorders:
             if rec.is_recording:
+                if only_slots is not None and rec.index not in only_slots:
+                    rec.start_fraction = 0.0
+                    continue
                 samples = out_np[rec.index]
                 trimmed = 0
                 if rec.start_fraction > 0.0:

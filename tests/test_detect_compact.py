@@ -291,6 +291,68 @@ def test_compact_matches_full_randomized(seed):
     covered(act_cmp, act_full)
 
 
+def test_vote_gather_matches_table_forms():
+    """_vote_windows_gather (candidate-window block gathers) is bit-exact vs
+    BOTH table forms: the int8-code sliding table at normal widths and the
+    f32+i32 pair tables at wide (> 128 bin) windows -- including exact ties
+    (first-occurrence rule) and shrunken edge windows."""
+    from rtl_sdr_scanner_tpu.ops import detect
+
+    rng = np.random.default_rng(0)
+    for trial in range(3):
+        f, half_depth, fft, k, half = 7, 11, 2048, 12, 51
+        r = half_depth - 1 + f
+        hist = rng.integers(0, 9, size=(r, fft)).astype(np.float32) - 3.0
+        cand = rng.integers(0, fft, size=(f, k)).astype(np.int32)
+        level = np.float32(4.0)
+
+        code_tbl = detect.sliding_argmax_code(jnp.asarray(hist), half, level)
+        codes = detect._vote_windows_code(code_tbl, jnp.asarray(cand), half_depth)
+        valid_c = np.asarray(codes >= 0)
+        idx_c = np.asarray(
+            (jnp.asarray(cand)[:, None, :] - half) + codes.astype(jnp.int32)
+        )
+
+        idx_g, valid_g = detect._vote_windows_gather(
+            jnp.asarray(hist), jnp.asarray(cand), half, level, half_depth
+        )
+        idx_g, valid_g = np.asarray(idx_g), np.asarray(valid_g)
+        np.testing.assert_array_equal(valid_c, valid_g)
+        assert (idx_c[valid_c] == idx_g[valid_c]).all(), trial
+
+    # wide window (w = 193 > 128): against the pair-table fallback
+    f, half_depth, fft, k, half = 5, 11, 1024, 8, 96
+    r = half_depth - 1 + f
+    hist = rng.integers(0, 9, size=(r, fft)).astype(np.float32) - 3.0
+    cand = rng.integers(0, fft, size=(f, k)).astype(np.int32)
+    hv, hi = detect.sliding_argmax(jnp.asarray(hist), half)
+    vv, vi = detect._vote_windows(hv, hi, jnp.asarray(cand), half_depth)
+    valid_p = np.asarray(vv >= 4.0)
+    idx_p = np.asarray(vi)
+    idx_g, valid_g = detect._vote_windows_gather(
+        jnp.asarray(hist), jnp.asarray(cand), half, np.float32(4.0), half_depth
+    )
+    idx_g, valid_g = np.asarray(idx_g), np.asarray(valid_g)
+    np.testing.assert_array_equal(valid_p, valid_g)
+    assert (idx_p[valid_p] == np.asarray(idx_g)[valid_p]).all()
+
+
+def test_compact_matches_full_pipeline_gather_vote(monkeypatch):
+    """Full compact-vs-full-row parity with the gather vote form engaged
+    (detect.VOTE_FORM is a trace-time constant, so the step is rebuilt)."""
+    from rtl_sdr_scanner_tpu.ops import detect
+
+    monkeypatch.setattr(detect, "VOTE_FORM", "gather")
+    rng = np.random.default_rng(3)
+    cfg = ScanConfig.create(RATE, frames_per_block=10)
+    iq = _make_iq(rng)
+    full_log, cmp_log = _run_both(iq, cfg)
+    assert full_log == cmp_log, [
+        (a, b) for a, b in zip(full_log, cmp_log) if a != b
+    ][:5]
+    assert any(shifts for _, shifts in full_log)
+
+
 def test_compact_wide_group_fallback():
     """group_size > 128 (wide recording bandwidth in bins, e.g.
     min_sample_rate 64 kHz at step 156.25 Hz -> group 410) cannot encode the

@@ -41,9 +41,9 @@ def _capture(tmp_path):
     return path
 
 
-def _run(tmp_path, capture, mesh_bands):
+def _run(tmp_path, capture, mesh_bands, extra_tunables=None):
     raw = default_config_json()
-    raw["tunables"] = {"mesh_bands": mesh_bands}
+    raw["tunables"] = {"mesh_bands": mesh_bands, **(extra_tunables or {})}
     raw["recording"] = {
         "max_noise_time_ms": 1000,
         "min_sample_rate": 16000,
@@ -65,7 +65,7 @@ def _run(tmp_path, capture, mesh_bands):
             "channels": B,
         }
     ]
-    cfg_path = tmp_path / f"cfg5_{mesh_bands}.json"
+    cfg_path = tmp_path / f"cfg5_{mesh_bands}_{len(raw['tunables'])}.json"
     cfg_path.write_text(json.dumps(raw))
     cfg = Config.load_from_file(str(cfg_path), scan_hardware=False)
     mqtt = NullMqtt()
@@ -73,8 +73,12 @@ def _run(tmp_path, capture, mesh_bands):
     scanner = WidebandScanner(cfg, cfg.devices[0], mqtt, recorders_count=8)
     if mesh_bands:
         assert scanner._mesh is not None
-        # the banded sharded DDC must be the active recording path
-        assert scanner._ddc_band_step is not None, "banded DDC did not engage"
+        # the banded (split or fused) sharded DDC must be the recording path
+        assert scanner._fused or scanner._ddc_band_step is not None, (
+            "banded DDC did not engage"
+        )
+        if extra_tunables and extra_tunables.get("wideband_fused_dispatch"):
+            assert scanner._fused, "fused dispatch did not engage"
         assert all(s.external_ddc for s in scanner.sessions)
     scanner.run_to_completion()
     return mqtt.published
@@ -111,3 +115,46 @@ def test_many_bands_recording_banded_parity(tmp_path):
     mid = 4500  # ms: the middle of the 3-6 s keyed window
     active = [c for c, (lo, hi) in spans.items() if lo <= mid <= hi + 200]
     assert len(active) >= 4, (active, spans)
+
+
+def test_fused_dispatch_recording(tmp_path):
+    """tunables.wideband_fused_dispatch: channelize + scan + banded DDC in
+    ONE dispatch per block. Recording reconcile then applies from the NEXT
+    block (reference notification timing, recorder.cpp:58-73), so vs the
+    split path every transmission must still be captured -- same signal set,
+    >= 4 simultaneous -- with starts shifted by at most ~1 block and ends
+    unchanged."""
+    capture = _capture(tmp_path)
+    serial = _run(tmp_path, capture, mesh_bands=0)
+    fused = _run(
+        tmp_path, capture, mesh_bands=8,
+        extra_tunables={"wideband_fused_dispatch": True},
+    )
+
+    s_trans = [(t, p) for t, p in serial if t.endswith("/transmission/uint8")]
+    f_trans = [(t, p) for t, p in fused if t.endswith("/transmission/uint8")]
+    assert s_trans and f_trans
+
+    def spans(trans):
+        out = {}
+        for _, p in trans:
+            t_ms, s0, s1, rate, samples = decode_transmission(p)
+            c = (s0 + s1) // 2
+            end = t_ms + int(len(samples) // 2 * 1000 / rate)
+            lo, hi = out.get(c, (t_ms, end))
+            out[c] = (min(lo, t_ms), max(hi, end))
+        return out
+
+    s_spans, f_spans = spans(s_trans), spans(f_trans)
+    # one sub-band block at 256 kHz sub-rate, default frames_per_block
+    block_ms = 400  # 81920 samples / 256 kHz = 320 ms + slack
+    for c, (s_lo, s_hi) in s_spans.items():
+        near = [v for c2, v in f_spans.items() if abs(c2 - c) <= 5000]
+        assert near, (c, sorted(f_spans))
+        f_lo, f_hi = min(near)
+        # fused starts AFTER the split path (next-block reconcile), by <= ~1
+        # block; the tail is identical timing
+        assert s_lo <= f_lo <= s_lo + 2 * block_ms, (c, s_lo, f_lo)
+        assert abs(f_hi - s_hi) <= block_ms, (c, s_hi, f_hi)
+    # every signal still recorded simultaneously where serial did
+    assert len(f_spans) >= len(s_spans)

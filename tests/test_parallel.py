@@ -190,3 +190,93 @@ def test_time_sharded_modtap_fits_boundaries():
     assert not time_sharded_modtap_fits(cfg, 7)  # chunk % (n*decim) != 0
     # shards smaller than the stage tail cannot halo exactly
     assert not time_sharded_modtap_fits(cfg, 4096)
+
+
+def test_wideband_fused_step_matches_split():
+    """make_sharded_wideband_fused_step (ONE dispatch: channelize + scan +
+    banded DDC; round-4 verdict weak #2) produces bit-identical outputs and
+    carried state to the split two-dispatch path (make_sharded_wideband_step
+    then make_sharded_banded_ddc) -- same shard_fn pieces, same operand
+    order, only the dispatch boundary moves."""
+    from rtl_sdr_scanner_tpu.models.ddc_pipeline import make_tables
+    from rtl_sdr_scanner_tpu.ops.channelizer import (
+        init_channelizer_state,
+        plan_channelizer,
+    )
+    from rtl_sdr_scanner_tpu.parallel.mesh import band_sharding, replicated
+    from rtl_sdr_scanner_tpu.parallel.sharded_scan import (
+        init_banded_ddc_state,
+        make_sharded_banded_ddc,
+        make_sharded_wideband_fused_step,
+        make_sharded_wideband_step,
+    )
+
+    n_bands = 8
+    mesh = make_mesh(n_bands=n_bands, n_time=1)
+    sub_rate = RATE  # 256 kHz per channel
+    cfg = ScanConfig.create(sub_rate, frames_per_block=4)
+    group = cfg.fft_size * cfg.decimator_factor
+    block = cfg.block_samples
+    ddc_cfg = DdcConfig.create(sub_rate, 16000, 2, block)
+    assert ddc_cfg.modtap
+    group_size = 64
+    plan = plan_channelizer(n_bands)
+
+    rng = np.random.default_rng(9)
+    pairs = jnp.asarray(
+        rng.standard_normal((n_bands * block, 2)).astype(np.float32) * 0.05
+    )
+    now = ((1 + np.arange(cfg.frames_per_block)) * cfg.frame_interval_ms).astype(
+        np.int32
+    )
+    keys = jnp.asarray(np.full((n_bands, 16), -1, dtype=np.int32))
+    valid = jnp.asarray(np.ones((n_bands, cfg.fft_size), dtype=bool))
+    per_band = [
+        make_tables(ddc_cfg, rng.integers(-sub_rate // 2, sub_rate // 2, size=2))
+        for _ in range(n_bands)
+    ]
+    tables = jax.device_put(
+        jax.tree.map(lambda *xs: jnp.stack(xs), *per_band), band_sharding(mesh)
+    )
+    keep_mask = np.ones((n_bands, 2), dtype=np.float32)
+    keep_mask[3, 1] = 0.0  # exercise the in-dispatch slot reset too
+
+    def fresh_states():
+        from rtl_sdr_scanner_tpu.parallel.sharded_scan import init_banded_state
+
+        return (
+            jax.device_put(init_channelizer_state(plan), replicated(mesh)),
+            init_banded_state(cfg, n_bands, mesh),
+            jax.device_put(
+                jnp.zeros((n_bands, cfg.spectro_size), dtype=jnp.float32),
+                band_sharding(mesh),
+            ),
+            init_banded_ddc_state(ddc_cfg, n_bands, mesh),
+        )
+
+    # split path
+    wide_step = make_sharded_wideband_step(cfg, group_size, 16, mesh, plan, 1, n_bands)
+    ddc_step = make_sharded_banded_ddc(ddc_cfg, mesh, n_bands)
+    cs, ss, acc, ds = fresh_states()
+    cs, ss, acc, packed_a, channels_a = wide_step(
+        cs, ss, acc, pairs, jnp.asarray(now), keys, valid,
+        jnp.float32(8.0), jnp.float32(1.0),
+    )
+    ds, rec_a = ddc_step(ds, channels_a, tables, keep_mask)
+    split_state = (cs, ss, acc, ds)
+
+    # fused path
+    fused = make_sharded_wideband_fused_step(
+        cfg, ddc_cfg, group_size, 16, mesh, plan, 1, n_bands
+    )
+    cs2, ss2, acc2, ds2 = fresh_states()
+    cs2, ss2, acc2, ds2, packed_b, rec_b, channels_b = fused(
+        cs2, ss2, acc2, ds2, pairs, jnp.asarray(now), keys, valid,
+        jnp.float32(8.0), jnp.float32(1.0), tables, keep_mask,
+    )
+
+    np.testing.assert_array_equal(np.asarray(packed_a), np.asarray(packed_b))
+    np.testing.assert_array_equal(np.asarray(rec_a), np.asarray(rec_b))
+    np.testing.assert_array_equal(np.asarray(channels_a), np.asarray(channels_b))
+    for a, b in zip(jax.tree.leaves(split_state), jax.tree.leaves((cs2, ss2, acc2, ds2))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
