@@ -80,6 +80,22 @@ class Tunables:
     # bit-exact f32 oracle -- the parity ladder (compact f32 == full-row
     # f32) is still CI-enforced at f32 by the detection test suite.
     detection_bf16: bool = True
+    # deeper tolerance mode (round-4 verdict weak #6): STORE the
+    # noise-subtracted power rows (the averager ring / history-vote rows)
+    # in bf16, halving their HBM footprint and traffic. XLA's TPU FFT is
+    # f32-only, so the FFT/PSD COMPUTE stays f32 and the noise threshold +
+    # spectrogram are bit-identical to f32 mode; what moves are values
+    # DERIVED from the stored rows -- boxcar means, smoothed rows, reported
+    # candidate/key powers -- which are f32 arithmetic over inputs quantized
+    # ONCE to bf16. Means/smoothing are convex, so the error is bounded by
+    # the worst single-element quantization of the rows entering the window:
+    # |delta| <= 2^-9 * max|input dB| (~0.05 dB for rows within +-25 dB,
+    # <= 0.12 dB within +-60 dB; the -100 sentinel is exact in bf16).
+    # Decision parity on randomized scenes + the dB bound are pinned by
+    # tests/test_power_bf16.py. Requires detection_bf16; OFF by default:
+    # measured gain is small because the row stages are pass-bound, not
+    # byte-bound (BENCH.md round-5).
+    power_bf16: bool = False
     # persist learned noise floors across restarts ("" = relearn like the
     # reference, noise_learner.cpp:69-72); path gets the device name appended
     noise_state_path: str = ""

@@ -62,6 +62,12 @@ class ScanConfig:
     # tolerance mode: detection SELECTION sweeps read bf16 row copies;
     # reported values stay f32 (ops/detect.py compact_detection docstring)
     detection_bf16: bool = False
+    # deeper tolerance: STORE the noise-subtracted rows (averager ring,
+    # history-vote rows) in bf16 (constants.Tunables.power_bf16 docstring:
+    # FFT/noise/spectrogram stay exact f32; derived powers move <= 2^-9
+    # relative of the dB value). Only meaningful with detection_bf16 --
+    # create() clears it otherwise so state dtypes stay consistent.
+    power_bf16: bool = False
     # fused Pallas selection kernel (ops/pallas/select_kernel.py), bit-exact
     use_pallas_select: bool = False
 
@@ -90,6 +96,7 @@ class ScanConfig:
             noise_learning_ms=tunables.noise_learning_time_ms,
             use_pallas_psd=tunables.use_pallas_psd,
             detection_bf16=tunables.detection_bf16,
+            power_bf16=tunables.power_bf16 and tunables.detection_bf16,
             use_pallas_select=tunables.use_pallas_select,
         )
 
@@ -128,9 +135,10 @@ class ScanOutputs(NamedTuple):
 
 
 def init_scan_state(cfg: ScanConfig, start_ms: int = 0) -> ScanState:
+    ring_dtype = jnp.bfloat16 if cfg.power_bf16 else jnp.float32
     return ScanState(
         noise=init_noise_state(cfg.fft_size, start_ms),
-        averager=init_averager_state(cfg.fft_size, cfg.grouping_y),
+        averager=init_averager_state(cfg.fft_size, cfg.grouping_y, ring_dtype),
     )
 
 
@@ -251,6 +259,10 @@ def _compact_scan_block(
     prev_tail = ordered_history(state.averager)[-(half_depth - 1) :]
 
     noise_state, raw_rows = noise_block(state.noise, power, now_ms, cfg.noise_learning_ms)
+    if cfg.power_bf16:
+        # tolerance mode: rows are stored/voted in bf16 (ONE quantization);
+        # sums/means/reported values remain f32 arithmetic over them
+        raw_rows = raw_rows.astype(jnp.bfloat16)
     avg_state, mean_rows = averager_block(state.averager, raw_rows)
     state = ScanState(noise_state, avg_state)
     avg_rows = sliding_average(mean_rows, cfg.grouping_x)

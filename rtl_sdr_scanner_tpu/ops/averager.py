@@ -19,15 +19,19 @@ from rtl_sdr_scanner_tpu.constants import NO_DATA
 
 
 class AveragerState(NamedTuple):
-    ring: jnp.ndarray  # [depth, fft] f32, zeros-initialized
-    total: jnp.ndarray  # [fft] f32 running column sum
+    ring: jnp.ndarray  # [depth, fft] f32 (bf16 in power_bf16 mode), zeros-init
+    total: jnp.ndarray  # [fft] f32 running column sum (always f32)
     pos: jnp.ndarray  # scalar i32 next write slot
     frames: jnp.ndarray  # scalar i32, saturates at depth
 
 
-def init_averager_state(fft_size: int, depth: int) -> AveragerState:
+def init_averager_state(
+    fft_size: int, depth: int, dtype=jnp.float32
+) -> AveragerState:
+    """dtype controls the RING storage (power_bf16 tolerance mode stores
+    rows in bf16; sums/means stay f32)."""
     return AveragerState(
-        ring=jnp.zeros((depth, fft_size), dtype=jnp.float32),
+        ring=jnp.zeros((depth, fft_size), dtype=dtype),
         total=jnp.zeros((fft_size,), dtype=jnp.float32),
         pos=jnp.asarray(0, dtype=jnp.int32),
         frames=jnp.asarray(0, dtype=jnp.int32),
@@ -43,9 +47,10 @@ def averager_step(
     the new frame (averager.cpp:14-25).
     """
     depth = state.ring.shape[0]
+    stored = frame.astype(state.ring.dtype)  # one quantization in bf16 mode
     old = state.ring[state.pos]
-    total = state.total - old + frame
-    ring = state.ring.at[state.pos].set(frame)
+    total = state.total - old.astype(jnp.float32) + stored.astype(jnp.float32)
+    ring = state.ring.at[state.pos].set(stored)
     pos = (state.pos + 1) % depth
     frames = jnp.minimum(state.frames + 1, depth)
     ready = frames >= depth
@@ -69,9 +74,15 @@ def averager_block(
     """
     depth, fft = state.ring.shape
     f = rows.shape[0]
-    all_rows = jnp.concatenate([ordered_history(state), rows], axis=0)  # [depth+F, fft]
+    all_rows = jnp.concatenate(
+        [ordered_history(state), rows.astype(state.ring.dtype)], axis=0
+    )  # [depth+F, fft], ring storage dtype (bf16 in power_bf16 mode)
     cs = jnp.concatenate(
-        [jnp.zeros((1, fft), jnp.float32), jnp.cumsum(all_rows, axis=0)], axis=0
+        [
+            jnp.zeros((1, fft), jnp.float32),
+            jnp.cumsum(all_rows.astype(jnp.float32), axis=0),  # sums stay f32
+        ],
+        axis=0,
     )
     sums = cs[depth + 1 : depth + 1 + f] - cs[1 : 1 + f]  # [F, fft]
     frames = jnp.minimum(state.frames + 1 + jnp.arange(f, dtype=jnp.int32), depth)

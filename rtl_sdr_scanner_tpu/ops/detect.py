@@ -139,6 +139,12 @@ K_SEP = 16  # margin-separated candidate slots
 # Trace-time constant: flip before building a jitted step to A/B
 # (scripts/profile_detect.py).
 VOTE_FORM = "code"
+# lowering of the gather inside _vote_windows_gather: "slice" =
+# vmap(dynamic_slice) (concatenated-slice lowering), "index" = one gather op
+# over expanded row indices. Both bit-exact; kept switchable because the
+# slice lowering FAULTED the TPU worker inside the full fused program
+# (round-5 negative result) while running fine isolated.
+VOTE_GATHER_LOWERING = "slice"
 
 
 # margin-sweep winners extracted per full-row pass. K_SEP winners in ONE
@@ -532,11 +538,14 @@ def _vote_windows_gather(
     ).T  # [n + 2*half, R], bin-major
     starts = cand_idx.reshape(-1)  # window start in padded coords = cand bin
 
-    g = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(
-            hist_t, (s, jnp.zeros((), s.dtype)), (w, r_rows)
-        )
-    )(starts)  # [F*K, w, R]
+    if VOTE_GATHER_LOWERING == "slice":
+        g = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(
+                hist_t, (s, jnp.zeros((), s.dtype)), (w, r_rows)
+            )
+        )(starts)  # [F*K, w, R]
+    else:  # "index": one gather op over row indices start+0..w-1
+        g = hist_t[starts[:, None] + jnp.arange(w, dtype=starts.dtype)[None, :]]
     vmax = jnp.max(g, axis=1).reshape(f, k, r_rows)  # [F, K, R]
     varg = jnp.argmax(g, axis=1).astype(jnp.int32).reshape(f, k, r_rows)
 

@@ -457,6 +457,10 @@ def make_time_sharded_scan(
         raw = jnp.where(
             was_ready[:, None], power - threshold[None, :], jnp.float32(NO_DATA)
         )
+        if cfg.power_bf16:
+            # tolerance mode: stored/voted rows in bf16 (scan_pipeline
+            # _compact_scan_block applies the same single quantization)
+            raw = raw.astype(jnp.bfloat16)
         ready_out = noise_in.ready | (
             jax.lax.pmax(cond[-1].astype(jnp.int32), TIME_AXIS) > 0
         )
@@ -482,7 +486,9 @@ def make_time_sharded_scan(
         # outgoing ring/total live on the last shard; replicate via psum
         is_last = (t_idx == n_time - 1).astype(jnp.float32)
         avg_out = AveragerState(
-            ring=jax.lax.psum(avg_local_state.ring * is_last, TIME_AXIS),
+            ring=jax.lax.psum(avg_local_state.ring * is_last, TIME_AXIS).astype(
+                avg_in.ring.dtype
+            ),
             total=jax.lax.psum(avg_local_state.total * is_last, TIME_AXIS),
             pos=jnp.asarray(0, dtype=jnp.int32),
             frames=jnp.minimum(avg_in.frames + f_global, depth).astype(jnp.int32),

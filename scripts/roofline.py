@@ -14,6 +14,7 @@ run is the one that counts).
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 
@@ -27,6 +28,13 @@ HBM_GBPS = 819.0  # v5e HBM bandwidth (public spec: ~819 GB/s)
 
 
 def main() -> int:
+    global BANDS, FRAMES
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bands", type=int, default=BANDS)
+    ap.add_argument("--frames", type=int, default=FRAMES)
+    args = ap.parse_args()
+    BANDS, FRAMES = args.bands, args.frames
+
     import jax
     import jax.numpy as jnp
 
@@ -100,6 +108,27 @@ def main() -> int:
     for k, v in sorted(cost.items()):
         if "bytes accessed" in k and k != "bytes accessed":
             out[k] = float(v)
+    # peak HBM residency (round-4 verdict weak #3: the 48-band ceiling) --
+    # temp allocations + arguments + outputs of the compiled executable
+    try:
+        mem = compiled.memory_analysis()
+        for attr in (
+            "temp_size_in_bytes",
+            "argument_size_in_bytes",
+            "output_size_in_bytes",
+            "alias_size_in_bytes",
+            "generated_code_size_in_bytes",
+        ):
+            v = getattr(mem, attr, None)
+            if v is not None:
+                out[attr] = int(v)
+        t = out.get("temp_size_in_bytes", 0)
+        a = out.get("argument_size_in_bytes", 0)
+        o = out.get("output_size_in_bytes", 0)
+        al = out.get("alias_size_in_bytes", 0)
+        out["peak_hbm_estimate_gb"] = round((t + a + o - al) / 1e9, 3)
+    except Exception as exc:  # memory_analysis absent on some backends
+        out["memory_analysis_error"] = str(exc)
     print(json.dumps(out, indent=2))
     return 0
 
