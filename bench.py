@@ -395,11 +395,11 @@ def main() -> int:
         )
         return 0
 
-    # 40 bands measured best (1374.7 M = 67.1x); 48+ spill HBM since the
-    # vote row-gather landed (transposed hist tables add ~52 MB/band), 64
-    # was already below 32/48 in round 1. Keep the sweep tight so driver
-    # runs stay fast.
-    band_counts = band_list if band_list else [32, 40]
+    # round-5 single-session curve (BENCH.md): 16/24/32/40/48 bands measured
+    # 85.0/97.3/94.0/91.6/88.4x -- a smooth per-chip optimum at 24-32, no
+    # spill cliff. Sweep the top two; keep the sweep tight so driver runs
+    # stay fast.
+    band_counts = band_list if band_list else [24, 32]
     best = 0.0
     best_bands = 1
     best_spread = 0.0
