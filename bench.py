@@ -92,6 +92,7 @@ def bench_bands(
     frames: int = FRAMES,
     bf16: bool = False,
     pallas_select: bool = False,
+    power_bf16: bool = False,
 ):
     import jax
     import jax.numpy as jnp
@@ -111,7 +112,11 @@ def bench_bands(
     cfg = ScanConfig.create(
         RATE,
         frames_per_block=frames,
-        tunables=Tunables(detection_bf16=bf16, use_pallas_select=pallas_select),
+        tunables=Tunables(
+            detection_bf16=bf16,
+            use_pallas_select=pallas_select,
+            power_bf16=power_bf16,
+        ),
     )
     assert cfg.fft_size == 131072 and cfg.decimator_factor == 3
     group = cfg.fft_size * cfg.decimator_factor
@@ -349,6 +354,12 @@ def main() -> int:
         "for top-K + margin greedy + count (bit-exact; A/B vs the XLA forms)",
     )
     parser.add_argument(
+        "--power-bf16",
+        action="store_true",
+        help="enable tunables.power_bf16 (bf16 row storage, bounded-"
+        "divergence contract in tests/test_power_bf16.py)",
+    )
+    parser.add_argument(
         "--f32",
         action="store_true",
         help="disable the bf16 selection tolerance mode (bf16 is the bench "
@@ -408,7 +419,7 @@ def main() -> int:
         try:
             rates = bench_bands(
                 nb, args.seconds, args.host_fed, args.frames, not args.f32,
-                args.pallas_select,
+                args.pallas_select, args.power_bf16,
             )
         except Exception as exc:
             print(f"bands={nb}: failed ({type(exc).__name__}: {exc})", file=sys.stderr)

@@ -605,10 +605,15 @@ def _modtap_stage1(
     w: jnp.ndarray,  # [NB, C, K*2*D*P]
     plan: StagePlan,
     k: int,
+    bf16: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Complex-tap chunked-matmul stage 1 over the raw input.
 
-    Returns (y_re, y_im) [NB, K, out1] and the new raw tail."""
+    Returns (y_re, y_im) [NB, K, out1] and the new raw tail.
+
+    bf16=True runs the contraction with bf16 OPERANDS (f32 accumulation) --
+    a measurement/tolerance switch (scripts/profile_modtap.py), not the
+    production default."""
     nb, two, n = x.shape
     m = plan.decim
     c, d, q = plan.chunk_c, plan.chunk_d, plan.chunk_q
@@ -625,6 +630,9 @@ def _modtap_stage1(
         ],
         axis=-1,
     ).reshape(nb, two * n_chunks, c)
+    if bf16:
+        lhs = lhs.astype(jnp.bfloat16)
+        w = w.astype(jnp.bfloat16)
     z = jax.lax.dot_general(
         lhs,
         w,

@@ -349,7 +349,7 @@ def sliding_argmax(rows: jnp.ndarray, half: int, max_levels: int = 4):
 
 
 def sliding_argmax_code(
-    rows: jnp.ndarray, half: int, level: jnp.ndarray, max_levels: int = 4
+    rows: jnp.ndarray, half: int, level: jnp.ndarray, max_levels: int = 3
 ):
     """Windowed first-max argmax at every center, compacted to ONE int8 CODE:
     the argmax's offset from the window start (0..2*half) when the window max
@@ -357,7 +357,9 @@ def sliding_argmax_code(
 
     The history vote consumes exactly (was the max >= start_level?, where)
     per (row, center) -- transmission.cpp:132-154 counts argmax votes only
-    from rows whose window max clears the level. Folding both into one int8
+    from rows whose window max clears the level. max_levels default 3:
+    round-5 A/B at 32x45 bf16 measured 34.5/36.8/60 ms net for 3/4/2 levels
+    (fewer doubling passes, shorter lane rotations; bit-identical output). Folding both into one int8
     shrinks the vote table to 1 byte/element from the 8 (f32 value + i32
     index) the sliding_argmax form carried through the transpose + row
     gather, which is what pushed 48-band geometries into HBM spill

@@ -77,15 +77,22 @@ def main() -> int:
 
     prep = (lambda h: h.astype(jnp.bfloat16)) if bf16 else (lambda h: h)
 
-    def vote_code(h, c):
-        def per_band(hb, cb):
-            tbl = detect.sliding_argmax_code(prep(hb), half, level)
-            codes = detect._vote_windows_code(tbl, cb, half_depth)
-            valid = codes >= 0
-            idxs = (cb[:, None, :] - half) + codes.astype(jnp.int32)
-            return detect._mode_median_ties_unrolled(idxs, valid, cb).sum()
+    def make_vote_code(levels):
+        def vote_code(h, c):
+            def per_band(hb, cb):
+                tbl = detect.sliding_argmax_code(
+                    prep(hb), half, level, max_levels=levels
+                )
+                codes = detect._vote_windows_code(tbl, cb, half_depth)
+                valid = codes >= 0
+                idxs = (cb[:, None, :] - half) + codes.astype(jnp.int32)
+                return detect._mode_median_ties_unrolled(idxs, valid, cb).sum()
 
-        return jax.vmap(per_band)(h, c).sum()
+            return jax.vmap(per_band)(h, c).sum()
+
+        return vote_code
+
+    vote_code = make_vote_code(4)
 
     def vote_gather(h, c):
         def per_band(hb, cb):
@@ -240,6 +247,11 @@ def main() -> int:
     tiny = jax.jit(lambda v: jnp.sum(v) * 0)
     timed("dispatch+fetch floor", tiny, jax.device_put(np.ones(8, np.float32)))
     timed("vote int8-code table", jax.jit(vote_code), hist, cand)
+    # round-4 A/B only went UP from 4 levels (4/5/6: 59.8/63.1/69.4 ms,
+    # monotonic) -- probe DOWN too: fewer doubling passes, more span
+    # combines (shorter lane rotations)
+    timed("vote code 3 levels", jax.jit(make_vote_code(3)), hist, cand)
+    timed("vote code 2 levels", jax.jit(make_vote_code(2)), hist, cand)
     timed("vote block-gather", jax.jit(vote_gather), hist, cand)
     timed("vote minor-slice (no transpose)", jax.jit(vote_minor), hist, cand)
     timed("vote [H,w]-slice", jax.jit(vote_minor_h), hist, cand)
