@@ -185,7 +185,11 @@ def bench_bands(
 
 
 def bench_wideband(
-    n_bands: int, seconds: float, frames: int = FRAMES, fused: bool = True
+    n_bands: int,
+    seconds: float,
+    frames: int = FRAMES,
+    fused: bool = True,
+    chan_bf16: bool = False,
 ):
     """The APPLICATION's mesh-mode device path, measured end to end on chip:
     ONE sharded dispatch channelizing the wideband block in-mesh + all bands'
@@ -217,7 +221,7 @@ def bench_wideband(
     block = cfg.block_samples
     ddc_cfg = DdcConfig.create(RATE, 16000, SLOTS_PER_BAND, block)
     group_size = int(np.ceil(16000 / cfg.step_hz))
-    plan = plan_channelizer(n_bands)
+    plan = plan_channelizer(n_bands, bf16=chan_bf16)
     mesh = make_mesh(n_bands=1, n_time=1)  # one real chip; tests cover 8-dev
 
     if fused:
@@ -334,6 +338,12 @@ def main() -> int:
         "and banded-DDC programs) instead of the fused single dispatch",
     )
     parser.add_argument(
+        "--chan-bf16",
+        action="store_true",
+        help="with --wideband: bf16-operand bank contraction "
+        "(tunables.channelizer_bf16 tolerance mode)",
+    )
+    parser.add_argument(
         "--seconds",
         type=float,
         default=2.5,
@@ -384,7 +394,8 @@ def main() -> int:
     if args.wideband:
         nb = band_list[0] if band_list else 8  # 8 bands fits the wideband f32 ring in HBM
         rates = bench_wideband(
-            nb, args.seconds, args.frames, fused=not args.wideband_split
+            nb, args.seconds, args.frames,
+            fused=not args.wideband_split, chan_bf16=args.chan_bf16,
         )
         rate, spread = _median_spread(rates)
         print(

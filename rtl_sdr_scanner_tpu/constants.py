@@ -140,6 +140,15 @@ class Tunables:
     # both owning sessions (each records it cleanly), exactly as the
     # reference would in two adjacent hop ranges.
     channelizer_oversample: int = 1
+    # wideband tolerance mode: run the polyphase bank contraction with bf16
+    # operands (f32 accumulation). The bank is f32-MXU compute-bound
+    # (~1 TFLOP per 8x20 block), so this buys back MXU rate at a bounded
+    # cost: channel IQ quantized at 2^-9 relative (~54 dB SNR, above the
+    # 46 dB int8 wire floor) and the quantized-tap stopband floor rises to
+    # ~-52 dB (was ~-70) -- both still past the >= 40 dB recording
+    # contract. OFF by default (the f32 bank is the byte-parity reference);
+    # bound pinned by tests/test_channelizer.py.
+    channelizer_bf16: bool = False
     # live ingest ring overflow policy: the SPSC ring drops newest IQ when
     # the feeder falls behind the front-end (the reference's GR scheduler
     # backpressures instead; SoapySDR surfaces overflow in readStream

@@ -49,11 +49,23 @@ class ChannelizerPlan(NamedTuple):
     mm_plan: object  # ops/ddc.StagePlan for (decim=B, r_rows=T) or None
     mm_g_pad: np.ndarray  # [B, 2, T*B + 1] f32 complex kernels (+ zero slot)
     mm_idx: np.ndarray  # [C, D*P] int32 scatter index
+    # tolerance mode (tunables.channelizer_bf16): run the bank contraction
+    # with bf16 OPERANDS (f32 accumulation). The bank is f32-MXU
+    # compute-bound (~1 TFLOP per 8x20 block, BENCH.md round-5), so bf16
+    # buys the MXU rate back at a bounded cost: channel IQ quantized at
+    # 2^-9 relative (~54 dB SNR, above the 46 dB int8 wire floor) and the
+    # quantized-tap stopband floor rises to ~-52 dB (was ~-70; still past
+    # the >= 40 dB recording contract). Pinned by
+    # tests/test_channelizer.py::test_channelizer_bf16_snr_bound.
+    bf16: bool = False
 
 
 @functools.lru_cache(maxsize=16)
 def plan_channelizer(
-    num_channels: int, taps_per_branch: int = 0, oversample: int = 1
+    num_channels: int,
+    taps_per_branch: int = 0,
+    oversample: int = 1,
+    bf16: bool = False,
 ) -> ChannelizerPlan:
     """Design the prototype and split it into branch filters.
 
@@ -131,6 +143,7 @@ def plan_channelizer(
         mm_plan=mm_plan,
         mm_g_pad=g_pad,
         mm_idx=mm_idx,
+        bf16=bf16,
     )
 
 
@@ -213,7 +226,7 @@ def _channelize_block_mm(
     )
     xs = jnp.stack([jnp.real(x), jnp.imag(x)], axis=0)  # [2, n]
     y_re, y_im, new_tail = _modtap_stage1(
-        xs[None], state.tail.T[None], w[None], p0, b
+        xs[None], state.tail.T[None], w[None], p0, b, bf16=plan.bf16
     )
     channels = jax.lax.complex(y_re[0], y_im[0])  # [B, n // B]
     return ChannelizerState(tail=new_tail[0].T), channels

@@ -71,7 +71,11 @@ class WidebandScanner:
         self.failed = False
         self._source = make_source(device_spec, loop=loop_replay, tunables=config.tunables)
         self._oversample = 2 if config.tunables.channelizer_oversample == 2 else 1
-        self._plan = plan_channelizer(b, oversample=self._oversample)
+        self._plan = plan_channelizer(
+            b,
+            oversample=self._oversample,
+            bf16=config.tunables.channelizer_bf16,
+        )
         if self._oversample == 2:
             from rtl_sdr_scanner_tpu.ops.channelizer import init_channelizer2x_state
 
