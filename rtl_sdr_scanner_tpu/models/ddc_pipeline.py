@@ -53,14 +53,19 @@ class DdcConfig:
         num_slots: int,
         block_samples: int,
         resampler_threshold: int = 125,
+        chunk_target: int = 1 << 21,
     ) -> "DdcConfig":
         plans = tuple(plan_chain(sample_rate, bandwidth, resampler_threshold))
         mult = chain_block_multiple(plans)
         # chunk: big enough to amortize dispatch, divisible into the block and
-        # by the chain multiple.
+        # by the chain multiple. chunk_target ~2M samples keeps rotation
+        # buffers in HBM modest; a round-5 A/B at the headline geometry
+        # measured an 8M target 24% SLOWER (1512 vs 1998 M samples/s,
+        # BENCH.md -- the bigger per-chunk rotation/z buffers pressure HBM),
+        # so 2M stays the default.
         chunk = block_samples
         num_chunks = 1
-        target = 1 << 21  # ~2M samples per chunk keeps rotation buffers in HBM modest
+        target = chunk_target
         while chunk > target and chunk % 2 == 0 and (chunk // 2) % mult == 0:
             chunk //= 2
             num_chunks *= 2
